@@ -1,0 +1,65 @@
+"""Device mesh + sharding helpers.
+
+The TPU-native replacement for the reference's `tf.distribute.MirroredStrategy`
+(`lib/training/training_base.py:230-247`): a 1-D (or 2-D data x model) `jax.sharding.Mesh`
+with the batch axis sharded over 'data'.  XLA inserts the gradient all-reduce over
+ICI/DCN automatically because parameters are replicated while the batch is sharded —
+no hand-written collectives needed for data parallelism.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(num_devices: int | None = None, model_parallel: int = 1,
+              devices=None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    n = len(devices)
+    if n % model_parallel != 0:
+        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+    arr = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) axis sharded over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    """Device-put a host batch with the leading axis sharded over 'data'.
+
+    Single-process path; multi-host feeding goes through
+    `jax.make_array_from_process_local_data` (see `put_global_batch`).
+    """
+    sh = batch_sharding(mesh)
+    return {k: jax.device_put(v, sh) for k, v in batch.items()}
+
+
+def put_global_batch(batch: dict, mesh: Mesh) -> dict:
+    """Multi-host batch feeding: each process contributes its local shard of the
+    global batch."""
+    sh = batch_sharding(mesh)
+    if jax.process_count() == 1:
+        return {k: jax.device_put(v, sh) for k, v in batch.items()}
+    return {
+        k: jax.make_array_from_process_local_data(sh, v)
+        for k, v in batch.items()
+    }
+
+
+def replicate_tree(tree, mesh: Mesh):
+    rep = replicated(mesh)
+    return jax.device_put(tree, rep)

@@ -1,0 +1,503 @@
+"""The training engine.
+
+TPU-native re-design of the reference's `TrainingBase` (`lib/training/training_base.py`):
+the same config surface, run-directory layout, save-best / reduce-on-plateau / resume
+semantics and CLI entry points — but the hot loop is a single jit-compiled train step
+over a `jax.sharding.Mesh` (batch sharded over the 'data' axis, params replicated; XLA
+emits the gradient all-reduce over ICI), with orbax checkpointing and host-side
+epoch-level schedule logic.
+
+Run directory (mirrors `training_base.py:183-190,220-224,315-319`):
+    models/<dataset>/<model_name>/
+        config/config.json, config/config_input.json
+        summary/summary.txt          (parameter-count summary)
+        logs/                        (JSONL metrics + optional TensorBoard events)
+        checkpoint/                  (orbax, max_to_keep=1 + train-state sidecar)
+        saved/<...>epochNNNN.npz     (save-best weight snapshots)
+        saved/<model_name>.npz       (final weights)
+        predictions/<split>_evals.txt
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.graph_model import EGTGraphModel, GraphModelConfig
+from ..parallel import mesh as meshlib
+from ..utils.hparams import Derived, HParams, join_path, read_config_from_file, \
+    save_config_to_file
+from . import checkpoint as ckpt
+from . import metrics as M
+from . import optim
+from . import schedules
+
+
+def _count_params(tree) -> int:
+    return sum(int(np.prod(np.shape(x))) for x in jax.tree_util.tree_leaves(tree))
+
+
+def _merge_stats_updates(params, stats_updates: dict, prefix=("stack",)):
+    """Functionally merge BatchNorm moving-stat updates (path-keyed) into params."""
+    if not stats_updates:
+        return params
+
+    def set_path(tree, path, value):
+        key = path[0]
+        if len(path) == 1:
+            new = {**tree[key], **value}
+        else:
+            new = set_path(tree[key], path[1:], value)
+        if isinstance(tree, dict):
+            out = dict(tree)
+            out[key] = new
+            return out
+        out = list(tree)
+        out[key] = new
+        return out
+
+    for path, value in stats_updates.items():
+        params = set_path(params, tuple(prefix) + tuple(path), value)
+    return params
+
+
+class TrainingBase:
+    """Config-driven training/eval engine; schemes subclass this."""
+
+    def __init__(self, config: dict | None = None):
+        self.config_input = config
+        self.config = self.get_default_config().strict_update(config)
+        self.state = self.get_default_state()
+        self.pred_flag = False
+        self.eval_flag = False
+        self.model: EGTGraphModel | None = None
+        self.params = None
+        self.opt_state = None
+        self.mesh = None
+
+    # --------------------------------------------------------------- config surface
+
+    def get_default_config(self) -> HParams:
+        c = HParams(
+            scheme=None,
+            model_name="unnamed_model",
+            distributed=False,
+            batch_size=Derived(lambda c: 32 if c.distributed else 128),
+            initial_lr=5e-4,
+            gradient_clipval=None,
+            num_epochs=1000,
+            dataset_path="datasets/gnn_benchmark.h5",
+            save_path=Derived(lambda c: join_path("models", c.model_name)),
+            checkpoint_path=Derived(lambda c: join_path(c.save_path, "checkpoint")),
+            log_path=Derived(lambda c: join_path(c.save_path, "logs")),
+            config_path=Derived(lambda c: join_path(c.save_path, "config")),
+            summary_path=Derived(lambda c: join_path(c.save_path, "summary")),
+            saved_model_path=Derived(
+                lambda c: join_path(c.save_path, "saved", c.model_name)),
+            rlr_factor=0.5,
+            rlr_patience=10,
+            rlr_monitor=Derived(lambda c: c.save_best_monitor),
+            min_lr_factor=0.01,
+            stopping_lr=0.0,
+            steps_per_epoch=None,
+            validation_steps=None,
+            save_best=True,
+            save_when=Derived(
+                lambda c: "" if not c.save_best else
+                "epoch;" + c.save_best_monitor +
+                "<=save_best_value;epoch{epoch:0>4d}"),
+            save_best_monitor="val_loss",
+            stopping_patience=0,
+            predictions_path=Derived(
+                lambda c: join_path(c.save_path, "predictions")),
+            weight_file=":",
+            prediction_bmult=2,
+            optimizer="adam",
+            # --- TPU-native extensions (not in the reference config surface)
+            seed=42,
+            compute_dtype="float32",     # 'float32' | 'bfloat16'
+            use_pallas=False,            # fused attention kernel (ops/egt_pallas.py)
+            num_devices=None,            # limit the mesh; None = all local devices
+            reload_on_nan=False,         # reference `relod_on_nan` capability
+            log_tensorboard=True,
+        )
+        return c
+
+    def get_default_state(self) -> dict:
+        return {
+            "current_epoch": 0,
+            "global_step": 0,
+            "lr": None,  # filled at load_model
+            **schedules.default_plateau_state(),
+        }
+
+    # ------------------------------------------------------------- scheme overrides
+
+    def get_dataset(self, splits):
+        raise NotImplementedError
+
+    def get_model_config(self) -> GraphModelConfig:
+        raise NotImplementedError
+
+    def loss_and_metrics(self, pred, target, mask, sample_mask):
+        """Returns (scalar_loss, {metric_name: (sum, count)}). Override per scheme."""
+        raise NotImplementedError
+
+    # ------------------------------------------------------------------ data access
+
+    def load_data(self, splits=("training", "validation")):
+        self.dataset = self.get_dataset(list(splits))
+        for s in splits:
+            n = self.dataset.num_records(s)
+            print(f"split {s}: {n} records", flush=True)
+        self.splits = list(splits)
+        self.pad_len = self.dataset.pad_length(self.splits)
+
+    def _batches(self, split: str, shuffle: bool, epoch: int = 0):
+        bmult = self.config.prediction_bmult if (self.eval_flag or self.pred_flag) \
+            else 1
+        bs = self.config.batch_size * bmult
+        return self.dataset.batches(
+            split, bs, shuffle=shuffle, seed=self.config.seed, epoch=epoch,
+            pad_len=self.pad_len)
+
+    # ----------------------------------------------------------------- model build
+
+    def load_model(self):
+        cfg = self.get_model_config()
+        cfg.max_length = self.pad_len
+        self.model_config = cfg
+        self.model = EGTGraphModel(cfg)
+        self.params = self.model.init(jax.random.PRNGKey(self.config.seed))
+
+        n_dev = self.config.num_devices if self.config.distributed else 1
+        self.mesh = meshlib.make_mesh(n_dev)
+        self.params = meshlib.replicate_tree(self.params, self.mesh)
+
+        self.optimizer = optim.make_optimizer(
+            self.config.optimizer, self.config.initial_lr,
+            self.config.gradient_clipval, params=self.params)
+        self.opt_state = jax.jit(
+            self.optimizer.init,
+            out_shardings=meshlib.replicated(self.mesh))(self.params)
+        if self.state["lr"] is None:
+            self.state["lr"] = float(self.config.initial_lr)
+
+        self.model_summary()
+        self._build_steps()
+
+    def model_summary(self):
+        path = Path(self.config.summary_path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        lines = [f"model: {self.config.model_name}",
+                 f"total params: {_count_params(self.params)}"]
+        for top, sub in self.params.items():
+            lines.append(f"  {top}: {_count_params(sub)}")
+        text = "\n".join(lines)
+        with open(str(path) + ".txt", "w") as fp:
+            fp.write(text + "\n")
+        print(text, flush=True)
+
+    # ---------------------------------------------------------------- step builders
+
+    def _compute_loss(self, params, batch, rng, training: bool):
+        dtype = jnp.bfloat16 if self.config.compute_dtype == "bfloat16" \
+            else jnp.float32
+        if dtype != jnp.float32:
+            batch = {k: (v.astype(dtype) if v.dtype == jnp.float32 else v)
+                     for k, v in batch.items()}
+        out, ctx = self.model.apply(params, batch, training=training, rng=rng)
+        out = out.astype(jnp.float32)
+        mask = self.model.output_mask(batch)
+        loss, metric_pairs = self.loss_and_metrics(
+            out, batch["target"], mask, batch.get("sample_mask"))
+        total = loss
+        for v in ctx.losses.values():
+            total = total + v
+        if self.model_config.l2_reg > 0:
+            l2 = sum(jnp.sum(jnp.square(x))
+                     for path, x in jax.tree_util.tree_flatten_with_path(params)[0]
+                     if getattr(path[-1], "key", None) in ("kernel", "table"))
+            total = total + self.model_config.l2_reg * l2
+        for name, v in ctx.metrics.items():
+            metric_pairs[name] = (v, jnp.asarray(1.0))
+        return total, (metric_pairs, ctx.stats_updates)
+
+    def _build_steps(self):
+        rep = meshlib.replicated(self.mesh)
+        bsh = meshlib.batch_sharding(self.mesh)
+
+        def train_step(params, opt_state, batch, rng, lr):
+            (loss, (pairs, stats)), grads = jax.value_and_grad(
+                self._compute_loss, has_aux=True)(params, batch, rng, True)
+            opt_state = optim.set_learning_rate(opt_state, lr)
+            updates, opt_state = self.optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            params = _merge_stats_updates(params, stats)
+            pairs = {"loss": (loss, jnp.asarray(1.0)), **pairs}
+            return params, opt_state, pairs
+
+        def eval_step(params, batch):
+            loss, (pairs, _) = self._compute_loss(params, batch, None, False)
+            return {"loss": (loss, jnp.asarray(1.0)), **pairs}
+
+        self._train_step = jax.jit(
+            train_step,
+            in_shardings=(rep, rep, bsh, rep, None),
+            out_shardings=(rep, rep, rep),
+            donate_argnums=(0, 1),
+        )
+        self._eval_step = jax.jit(
+            eval_step, in_shardings=(rep, bsh), out_shardings=rep)
+
+        def predict_step(params, batch):
+            out, _ = self.model.apply(params, batch, training=False)
+            return out
+
+        self._predict_step = jax.jit(
+            predict_step, in_shardings=(rep, bsh), out_shardings=rep)
+
+    # -------------------------------------------------------------------- training
+
+    def config_summary(self):
+        for k, v in self.config.resolved().items():
+            print(f"{k} : {v}", flush=True)
+
+    def save_config_file(self):
+        os.makedirs(self.config.config_path, exist_ok=True)
+        save_config_to_file(self.config.resolved(),
+                            join_path(self.config.config_path, "config.json"))
+        save_config_to_file(self.config_input or {},
+                            join_path(self.config.config_path,
+                                      "config_input.json"))
+
+    def load_state(self):
+        self.checkpointer = ckpt.TrainCheckpointer(self.config.checkpoint_path)
+        restored = self.checkpointer.restore(self.params, self.opt_state)
+        if restored is not None:
+            self.params, self.opt_state, train_state = restored
+            self.params = meshlib.replicate_tree(self.params, self.mesh)
+            self.opt_state = meshlib.replicate_tree(self.opt_state, self.mesh)
+            self.state.update(train_state)
+            print(f"Checkpoint loaded from {self.config.checkpoint_path} "
+                  f"(epoch {self.state['current_epoch']})", flush=True)
+
+    def _make_loggers(self):
+        os.makedirs(self.config.log_path, exist_ok=True)
+        self._jsonl = open(
+            join_path(self.config.log_path, "metrics.jsonl"), "a")
+        self._tb = None
+        if self.config.log_tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(log_dir=self.config.log_path)
+            except Exception as e:  # tensorboard optional
+                print(f"TensorBoard writer unavailable ({e}); using JSONL only",
+                      flush=True)
+
+    def _log_epoch(self, epoch: int, logs: dict):
+        rec = {"epoch": epoch, "time": time.time(), **logs}
+        self._jsonl.write(json.dumps(rec) + "\n")
+        self._jsonl.flush()
+        if self._tb is not None:
+            for k, v in logs.items():
+                if isinstance(v, (int, float)):
+                    self._tb.add_scalar(k, v, epoch)
+
+    def train_model(self):
+        cfg = self.config
+        state = self.state
+        self._make_loggers()
+        save_when = ckpt.SaveWhen(os.path.dirname(cfg.saved_model_path),
+                                  cfg.save_when)
+        plateau_cfg = schedules.PlateauConfig(
+            monitor=cfg.save_best_monitor,
+            rlr_factor=cfg.rlr_factor,
+            rlr_patience=cfg.rlr_patience,
+            min_lr=cfg.initial_lr * cfg.min_lr_factor,
+            stopping_lr=cfg.stopping_lr,
+            save_best=cfg.save_best,
+        )
+        warmup_steps = getattr(cfg, "warmup_steps", 0) or 0
+        total_steps = getattr(cfg, "total_steps", None)
+        early_stop_patience = cfg.stopping_patience
+        early_stop_best, early_stop_count = float("inf"), 0
+
+        base_rng = jax.random.PRNGKey(cfg.seed + 1)
+        stop = False
+        epoch = state["current_epoch"]
+        while epoch < cfg.num_epochs and not stop:
+            t0 = time.time()
+            acc = M.MetricAccumulator()
+            n_steps = 0
+            for batch in self._batches("training", shuffle=True, epoch=epoch):
+                step = state["global_step"]
+                if warmup_steps > 0:
+                    lr, stop_sched = schedules.warmup_cosine_lr(
+                        step, warmup_steps=warmup_steps, max_lr=cfg.initial_lr,
+                        total_steps=total_steps)
+                    if lr is not None:
+                        state["lr"] = lr
+                    if stop_sched:
+                        stop = True
+                        break
+                rng = jax.random.fold_in(base_rng, step)
+                dbatch = meshlib.put_global_batch(batch, self.mesh)
+                self.params, self.opt_state, pairs = self._train_step(
+                    self.params, self.opt_state, dbatch, rng,
+                    np.float32(state["lr"]))
+                acc.update(jax.device_get(pairs))
+                state["global_step"] = step + 1
+                n_steps += 1
+                if cfg.steps_per_epoch and n_steps >= cfg.steps_per_epoch:
+                    break
+            train_logs = acc.result()
+
+            if cfg.reload_on_nan and not np.isfinite(train_logs.get("loss", 0.0)):
+                print("Invalid loss, reloading checkpoint!!!", flush=True)
+                self.load_state()
+                continue
+
+            val_logs = {}
+            if "validation" in self.splits:
+                val_logs = {f"val_{k}": v for k, v in
+                            self.evaluate_split("validation",
+                                                max_steps=cfg.validation_steps
+                                                ).items()}
+            logs = {**train_logs, **val_logs, "lr": state["lr"]}
+            dt = time.time() - t0
+            msg = " - ".join(f"{k}: {v:.5f}" for k, v in logs.items())
+            print(f"Epoch {epoch + 1}/{cfg.num_epochs} [{dt:.1f}s, "
+                  f"{n_steps} steps] {msg}", flush=True)
+
+            # 1) save-when snapshots (evaluated against the PRE-update best value,
+            #    matching the reference callback ordering)
+            scope = {**logs, "epoch": epoch + 1,
+                     **{k: v for k, v in state.items()
+                        if isinstance(v, (int, float))}}
+            save_when.maybe_save("epoch", scope, self.params)
+
+            # 2) plateau / save-best / stop bookkeeping
+            state["current_epoch"] = epoch + 1
+            if cfg.save_best:
+                new_lr, _, stop_pl = schedules.plateau_update(
+                    state, plateau_cfg, state["lr"], epoch + 1, logs)
+                state["lr"] = new_lr
+                stop = stop or stop_pl
+
+            # 3) early stopping on val_loss (`training_base.py:276-280`)
+            if early_stop_patience > 0:
+                v = logs.get("val_loss", float("inf"))
+                if v < early_stop_best:
+                    early_stop_best, early_stop_count = v, 0
+                else:
+                    early_stop_count += 1
+                    if early_stop_count >= early_stop_patience:
+                        print("Early stopping!", flush=True)
+                        stop = True
+
+            # 4) checkpoint every epoch
+            self.checkpointer.save(epoch + 1, jax.device_get(self.params),
+                                   jax.device_get(self.opt_state), dict(state))
+            print(f"CHECKPOINT Epoch: {epoch + 1}", flush=True)
+
+            self._log_epoch(epoch + 1, logs)
+            epoch += 1
+
+        self._jsonl.close()
+        if self._tb is not None:
+            self._tb.close()
+
+    # ------------------------------------------------------------------ evaluation
+
+    def evaluate_split(self, split: str, max_steps=None) -> dict:
+        acc = M.MetricAccumulator()
+        for i, batch in enumerate(self._batches(split, shuffle=False)):
+            if max_steps and i >= max_steps:
+                break
+            dbatch = meshlib.put_global_batch(batch, self.mesh)
+            acc.update(jax.device_get(self._eval_step(self.params, dbatch)))
+        return acc.result()
+
+    def predict_split(self, split: str):
+        """Yield (host_batch, predictions) over a split, for custom eval loops."""
+        for batch in self._batches(split, shuffle=False):
+            dbatch = meshlib.put_global_batch(batch, self.mesh)
+            out = jax.device_get(self._predict_step(self.params, dbatch))
+            yield batch, out
+
+    # ----------------------------------------------------------- top-level commands
+
+    def execute_training(self):
+        self.config_summary()
+        self.save_config_file()
+        self.load_data()
+        self.load_model()
+        self.load_state()
+        self.train_model()
+        self.finalize_training(skip_init=True)
+
+    def save_model(self):
+        path = self.config.saved_model_path + ".npz"
+        ckpt.save_weights(jax.device_get(self.params), path)
+        print(f"Saved model to {path}", flush=True)
+
+    def finalize_training(self, skip_init: bool = False):
+        if not skip_init:
+            self.config_summary()
+            self.load_data()
+            self.load_model()
+            self.load_state()
+        self.save_model()
+        print("DONE!!!", flush=True)
+
+    def prepare_for_test(self):
+        self.config_summary()
+        self.load_data(splits=("training", "validation", "test"))
+        self.load_model()
+
+        wf = self.config.weight_file
+        if wf == ":":
+            wf = ckpt.latest_epoch_snapshot(
+                os.path.dirname(self.config.saved_model_path))
+        if wf == "":
+            wf = self.config.saved_model_path + ".npz"
+        if wf == "-":
+            self.load_state()
+            print("LOADED TRAINING STATE FOR PREDICTIONS!", flush=True)
+        else:
+            loaded = ckpt.load_weights(jax.device_get(self.params), wf)
+            self.params = meshlib.replicate_tree(loaded, self.mesh)
+            print(f'LOADED WEIGHT FILE "{wf}" FOR PREDICTIONS!', flush=True)
+
+    def do_evaluations_on_split(self, split: str):
+        raise NotImplementedError
+
+    def do_evaluations(self):
+        self.eval_flag = True
+        self.prepare_for_test()
+        os.makedirs(self.config.predictions_path, exist_ok=True)
+        for split in ("training", "validation", "test"):
+            print("=" * 40, flush=True)
+            print(f"Evaluation on {split}.", flush=True)
+            self.do_evaluations_on_split(split)
+            print(flush=True)
+
+    def append_eval(self, split: str, lines: list[str]):
+        os.makedirs(self.config.predictions_path, exist_ok=True)
+        name = {"training": "trainset", "validation": "valset",
+                "test": "testset"}.get(split, split)
+        path = join_path(self.config.predictions_path, f"{name}_evals.txt")
+        with open(path, "a") as fp:
+            for ln in lines:
+                print(ln, file=fp)
+        for ln in lines:
+            print(ln, flush=True)

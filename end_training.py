@@ -1,0 +1,12 @@
+"""Finalize CLI: python end_training.py <config.json> (reference: end_training.py) —
+rebuild the model, restore the latest checkpoint, save final weights."""
+
+import sys
+
+from egt_tpu.training.schemes import import_scheme
+from egt_tpu.utils.hparams import read_config_from_file
+
+if __name__ == "__main__":
+    config = read_config_from_file(sys.argv[1])
+    scheme_class = import_scheme(config["scheme"])
+    scheme_class(config).finalize_training()

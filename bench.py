@@ -1,0 +1,99 @@
+"""Throughput benchmark: ZINC-500k-shape EGT training step on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline is measured graphs/s divided by BASELINE_GRAPHS_PER_SEC, a nominal
+estimate of the TF2 reference's single-GPU training throughput for the same model
+shape (the reference repo publishes no throughput numbers — BASELINE.md — so this
+anchor is an engineering estimate of a V100-class GPU on the dense b=128, l=40
+workload; the north-star asks for >= 2x it, i.e. vs_baseline >= 2).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_GRAPHS_PER_SEC = 1200.0  # nominal TF2-GPU estimate (see module docstring)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from egt_tpu.models.graph_model import EGTGraphModel, GraphModelConfig
+    from egt_tpu.parallel.dryrun import synthetic_batch
+    from egt_tpu.training import metrics as M
+    from egt_tpu.training import optim
+
+    b, l = 128, 40
+    cfg = GraphModelConfig(
+        model_width=64, edge_width=64, num_heads=8, model_height=10,
+        node_input_kind="tokens", edge_input_kind="tokens",
+        num_node_features=28, num_edge_features=4, num_targets=1,
+        readout_kind="graph", upto_hop=16, random_mask_prob=0.1,
+        use_svd=True, num_svd_features=16, sel_svd_features=8,
+        transform_svd=True, random_neg=True,
+    )
+    model = EGTGraphModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    n_params = sum(int(np.prod(np.shape(x)))
+                   for x in jax.tree_util.tree_leaves(params))
+    log(f"devices: {jax.devices()}  params: {n_params}")
+
+    optimizer = optim.make_optimizer("adam", 5e-4, params=params)
+    opt_state = optimizer.init(params)
+
+    rng = np.random.default_rng(0)
+    batch = synthetic_batch(rng, b, l)
+    batch["singular_vectors"] = rng.normal(size=(b, l, 16, 2)).astype(np.float32)
+    batch = jax.device_put(batch)
+
+    def loss_fn(p, bt, key):
+        out, ctx = model.apply(p, bt, training=True, rng=key)
+        s, c = M.mae_loss(out, bt["target"], None, bt["sample_mask"])
+        return s / jnp.maximum(c, 1.0)
+
+    @jax.jit
+    def train_step(p, o, bt, key):
+        loss, grads = jax.value_and_grad(loss_fn)(p, bt, key)
+        updates, o = optimizer.update(grads, o, p)
+        p = optax.apply_updates(p, updates)
+        return p, o, loss
+
+    key = jax.random.PRNGKey(1)
+    t0 = time.time()
+    params, opt_state, loss = jax.block_until_ready(
+        train_step(params, opt_state, batch, key))
+    log(f"compile+first step: {time.time() - t0:.1f}s loss={float(loss):.4f}")
+
+    # warmup
+    for i in range(3):
+        params, opt_state, loss = train_step(params, opt_state, batch, key)
+    jax.block_until_ready(loss)
+
+    iters = 30
+    t0 = time.time()
+    for i in range(iters):
+        params, opt_state, loss = train_step(params, opt_state, batch, key)
+    jax.block_until_ready(loss)
+    dt = time.time() - t0
+    graphs_per_sec = b * iters / dt
+    log(f"{iters} steps in {dt:.3f}s -> {graphs_per_sec:.1f} graphs/s")
+
+    print(json.dumps({
+        "metric": "zinc500k_train_graphs_per_sec_per_chip",
+        "value": round(graphs_per_sec, 1),
+        "unit": "graphs/s",
+        "vs_baseline": round(graphs_per_sec / BASELINE_GRAPHS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

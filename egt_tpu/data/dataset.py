@@ -162,11 +162,13 @@ class GraphDataset:
             if name == "num_nodes":
                 continue
             arrays = [np.atleast_1d(a) for a in out_lists[name]]
-            if name == "target" and self.spec.target_kind in ("graph_value",
-                                                              "graph_label"):
+            if name == "target" and spec.target_kind == "graph_value":
                 data["target"] = np.stack(
-                    [a.reshape(-1) for a in arrays]).astype(
-                        np.float32 if spec.target_kind == "graph_value" else np.int32)
+                    [a.reshape(-1) for a in arrays]).astype(np.float32)
+                continue
+            if name == "target" and spec.target_kind == "graph_label":
+                data["target"] = np.asarray(
+                    [a.reshape(-1)[0] for a in arrays], dtype=np.int32)
                 continue
             rf = RaggedField.from_list(arrays)
             data[f"{name}_flat"] = rf.flat

@@ -1,0 +1,476 @@
+"""Fused EGT attention Pallas kernel (TPU).
+
+Fuses the memory-bound chain of the EGT attention op — logit clipping, edge bias,
+additive masks, train-time random attention masking, softmax x sigmoid gating,
+attention dropout, value aggregation and degree accumulation — into a single VMEM
+pass per (batch, head) program, eliminating the repeated HBM round-trips of the
+unfused path (the b,l,l,h logits/softmax/gate intermediates).  Semantics match
+`egt_tpu.models.egt.egt_attention` (which mirrors `lib/models/egt_layers.py:57-143`)
+and are tested against it.
+
+Layout: head-major. q,k,v are (b,h,l,d); the edge bias, gates and h_hat are
+(b,h,l,l).  The surrounding layer produces/consumes these via head-major einsums so
+no big-tensor transposes are required (see models/layers.py fused path).
+
+Backward: custom VJP with a second kernel that recomputes softmax/sigmoid from the
+saved `h_hat` output and REGENERATES the random-mask/dropout bits from the same
+per-program PRNG seed (draws happen in the same order as the forward pass).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _uniform_from_bits(shape):
+    """uint32 random bits -> uniform [0, 1) float32 without an integer->float cast
+    (unsupported by Mosaic): pack 23 random mantissa bits under exponent 0 to get a
+    float in [1, 2), then subtract 1."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    mantissa = jax.lax.shift_right_logical(bits, jnp.uint32(9))
+    fbits = jax.lax.bitwise_or(mantissa, jnp.uint32(0x3F800000))
+    return pltpu.bitcast(fbits, jnp.float32) - 1.0
+
+
+def _make_uniform(seed_ref):
+    """Per-program uniform sampler. Uses the TPU hardware PRNG when compiled; falls
+    back to threefry (ordinary jax.random, traceable on CPU) in interpret mode.
+    Draws are indexed (0 = random mask, 1 = dropout) so the forward and backward
+    kernels regenerate identical bits."""
+    b_idx = pl.program_id(0)
+    h_idx = pl.program_id(1)
+    if _interpret():
+        base = jax.random.PRNGKey(seed_ref[0])
+        base = jax.random.fold_in(jax.random.fold_in(base, b_idx), h_idx)
+
+        def uniform(shape, idx):
+            return jax.random.uniform(jax.random.fold_in(base, idx), shape)
+    else:
+        pltpu.prng_seed(seed_ref[0] + b_idx * 8191 + h_idx * 131071)
+
+        def uniform(shape, idx):
+            del idx  # hardware PRNG draws sequentially in a fixed order
+            return _uniform_from_bits(shape)
+
+    return uniform
+
+
+# ------------------------------------------------------------------------ forward
+
+
+def _fwd_kernel(seed_ref, *refs, gated, has_full_mask, clip_lo, clip_hi,
+                random_mask_prob, attn_dropout, training, scale):
+    it = iter(refs)
+    q_ref = next(it)
+    k_ref = next(it)
+    v_ref = next(it)
+    e_ref = next(it)
+    g_ref = next(it) if gated else None
+    madd_ref = next(it)                      # (1, l) row mask add
+    maddf_ref = next(it) if has_full_mask else None
+    vout_ref = next(it)
+    hhat_ref = next(it)
+    deg_ref = next(it) if gated else None
+
+    stochastic = training and (random_mask_prob > 0.0 or attn_dropout > 0.0)
+    uniform = _make_uniform(seed_ref) if stochastic else None
+
+    q = q_ref[0, 0]                          # (l, d)
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    e = e_ref[0, 0]                          # (l, l)
+
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    if clip_lo is not None:
+        logits = jnp.clip(logits, clip_lo, clip_hi)
+    h_hat = logits + e
+    hhat_ref[0, 0] = h_hat
+
+    madd = madd_ref[0]                       # (1, l) -> broadcast over queries
+    lm = h_hat + madd
+    if has_full_mask:
+        lm = lm + maddf_ref[0]
+    if gated:
+        gm = g_ref[0, 0] + madd
+        if has_full_mask:
+            gm = gm + maddf_ref[0]
+
+    if training and random_mask_prob > 0.0:
+        u = uniform(lm.shape, 0)
+        rm = jnp.where(u < random_mask_prob, NEG_INF, 0.0)
+        lm = lm + rm
+        if gated:
+            gm = gm + rm
+
+    s = jax.nn.softmax(lm, axis=-1)
+    if gated:
+        sg = jax.nn.sigmoid(gm)
+        a = s * sg
+        deg_ref[0, 0] = jnp.sum(sg, axis=-1)[None, :]
+    else:
+        a = s
+
+    if training and attn_dropout > 0.0:
+        u2 = uniform(a.shape, 1)
+        keep = 1.0 - attn_dropout
+        a = jnp.where(u2 >= attn_dropout, a / keep, 0.0)
+
+    vout_ref[0, 0] = jnp.dot(a, v, preferred_element_type=jnp.float32)
+
+
+# ------------------------------------------------------------------------ backward
+
+
+def _bwd_kernel(seed_ref, *refs, gated, has_full_mask, clip_lo, clip_hi,
+                random_mask_prob, attn_dropout, training, scale):
+    it = iter(refs)
+    q_ref = next(it)
+    k_ref = next(it)
+    v_ref = next(it)
+    g_ref = next(it) if gated else None
+    madd_ref = next(it)
+    maddf_ref = next(it) if has_full_mask else None
+    hhat_ref = next(it)
+    gv_ref = next(it)                        # cotangent of v_att (l, d)
+    gh_ref = next(it)                        # cotangent of h_hat (l, l)
+    gdeg_ref = next(it) if gated else None   # cotangent of degrees (l,)
+    dq_ref = next(it)
+    dk_ref = next(it)
+    dv_ref = next(it)
+    de_ref = next(it)
+    dg_ref = next(it) if gated else None
+
+    stochastic = training and (random_mask_prob > 0.0 or attn_dropout > 0.0)
+    uniform = _make_uniform(seed_ref) if stochastic else None
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    h_hat = hhat_ref[0, 0]
+    madd = madd_ref[0]
+
+    lm = h_hat + madd
+    if has_full_mask:
+        lm = lm + maddf_ref[0]
+    if gated:
+        gm = g_ref[0, 0] + madd
+        if has_full_mask:
+            gm = gm + maddf_ref[0]
+
+    # regenerate random masks in the same draw order as the forward kernel
+    if training and random_mask_prob > 0.0:
+        u = uniform(lm.shape, 0)
+        rm = jnp.where(u < random_mask_prob, NEG_INF, 0.0)
+        lm = lm + rm
+        if gated:
+            gm = gm + rm
+
+    s = jax.nn.softmax(lm, axis=-1)
+    if gated:
+        sg = jax.nn.sigmoid(gm)
+        a = s * sg
+    else:
+        a = s
+
+    if training and attn_dropout > 0.0:
+        u2 = uniform(a.shape, 1)
+        keep = 1.0 - attn_dropout
+        dmask = (u2 >= attn_dropout).astype(jnp.float32) / keep
+        a_d = a * dmask
+    else:
+        dmask = None
+        a_d = a
+
+    gv = gv_ref[0, 0]
+    gh = gh_ref[0, 0]
+
+    dA_d = jax.lax.dot_general(gv, v, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)  # (l, l)
+    dA = dA_d * dmask if dmask is not None else dA_d
+
+    if gated:
+        dS = dA * sg
+        dsg = dA * s + gdeg_ref[0, 0].reshape(-1)[:, None]
+        dG = dsg * sg * (1.0 - sg)
+        dg_ref[0, 0] = dG
+    else:
+        dS = dA
+
+    dL = s * (dS - jnp.sum(dS * s, axis=-1, keepdims=True))
+    dH = dL + gh
+    de_ref[0, 0] = dH
+
+    # clip gradient: recompute raw scaled logits, gate where inside [lo, hi]
+    raw = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32) * scale
+    if clip_lo is not None:
+        inside = jnp.logical_and(raw >= clip_lo, raw <= clip_hi)
+        draw = jnp.where(inside, dH, 0.0)
+    else:
+        draw = dH
+
+    dq_ref[0, 0] = jnp.dot(draw, k, preferred_element_type=jnp.float32) * scale
+    dk_ref[0, 0] = jax.lax.dot_general(
+        draw, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    dv_ref[0, 0] = jax.lax.dot_general(
+        a_d, gv, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+# --------------------------------------------------------------------- dispatchers
+
+
+def _specs(b, h, l, d, gated, has_full_mask, with_grads):
+    def bh4(shape):
+        return pl.BlockSpec((1, 1) + shape, lambda i, j, *_: (i, j, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    qspec = bh4((l, d))
+    llspec = bh4((l, l))
+    madd_spec = pl.BlockSpec((1, 1, l), lambda i, j, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    maddf_spec = pl.BlockSpec((1, l, l), lambda i, j, *_: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+    deg_spec = pl.BlockSpec((1, 1, 1, l), lambda i, j, *_: (i, j, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return qspec, llspec, madd_spec, maddf_spec, deg_spec
+
+
+class _CoreOut(NamedTuple):
+    v_att: jax.Array      # (b, h, l, d)
+    h_hat: jax.Array      # (b, h, l, l)
+    degrees: jax.Array | None  # (b, h, l)
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(7, 8, 9, 10, 11))
+def _egt_core(q, k, v, e, g, masks, seed, clip, random_mask_prob,
+              attn_dropout, training, gated):
+    out, _ = _egt_core_fwd(q, k, v, e, g, masks, seed, clip, random_mask_prob,
+                           attn_dropout, training, gated)
+    return out
+
+
+def _egt_core_fwd(q, k, v, e, g, masks, seed, clip, random_mask_prob,
+                  attn_dropout, training, gated):
+    madd, maddf = masks
+    b, h, l, d = q.shape
+    has_full_mask = maddf is not None
+    clip_lo, clip_hi = (clip if clip is not None else (None, None))
+    scale = d ** -0.5
+
+    qspec, llspec, madd_spec, maddf_spec, deg_spec = _specs(
+        b, h, l, d, gated, has_full_mask, False)
+
+    in_specs = [qspec, qspec, qspec, llspec]
+    inputs = [q, k, v, e]
+    if gated:
+        in_specs.append(llspec)
+        inputs.append(g)
+    in_specs.append(madd_spec)
+    inputs.append(madd)
+    if has_full_mask:
+        in_specs.append(maddf_spec)
+        inputs.append(maddf)
+
+    out_shape = [
+        jax.ShapeDtypeStruct((b, h, l, d), jnp.float32),
+        jax.ShapeDtypeStruct((b, h, l, l), jnp.float32),
+    ]
+    out_specs = [qspec, llspec]
+    if gated:
+        out_shape.append(jax.ShapeDtypeStruct((b, h, 1, l), jnp.float32))
+        out_specs.append(deg_spec)
+
+    kernel = functools.partial(
+        _fwd_kernel, gated=gated, has_full_mask=has_full_mask,
+        clip_lo=clip_lo, clip_hi=clip_hi, random_mask_prob=random_mask_prob,
+        attn_dropout=attn_dropout, training=training, scale=scale)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, h),
+        in_specs=in_specs,
+        out_specs=out_specs,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=_interpret(),
+    )(seed, *inputs)
+
+    if gated:
+        v_att, h_hat, deg = outs
+    else:
+        v_att, h_hat = outs
+        deg = None
+    out = _CoreOut(v_att, h_hat, deg)
+    residuals = (q, k, v, g, madd, maddf, seed, h_hat)
+    return out, residuals
+
+
+def _egt_core_bwd_impl(clip, random_mask_prob, attn_dropout, training, gated,
+                       residuals, cotangents):
+    q, k, v, g, madd, maddf, seed, h_hat = residuals
+    gv, gh, gdeg = cotangents
+    b, h, l, d = q.shape
+    has_full_mask = maddf is not None
+    clip_lo, clip_hi = (clip if clip is not None else (None, None))
+    scale = d ** -0.5
+
+    qspec, llspec, madd_spec, maddf_spec, deg_spec = _specs(
+        b, h, l, d, gated, has_full_mask, True)
+
+    in_specs = [qspec, qspec, qspec]
+    inputs = [q, k, v]
+    if gated:
+        in_specs.append(llspec)
+        inputs.append(g)
+    in_specs.append(madd_spec)
+    inputs.append(madd)
+    if has_full_mask:
+        in_specs.append(maddf_spec)
+        inputs.append(maddf)
+    in_specs.extend([llspec, qspec, llspec])
+    inputs.extend([h_hat, gv, gh])
+    if gated:
+        if gdeg is None:
+            gdeg = jnp.zeros((b, h, 1, l), jnp.float32)
+        in_specs.append(deg_spec)
+        inputs.append(gdeg)
+
+    out_shape = [
+        jax.ShapeDtypeStruct((b, h, l, d), jnp.float32),  # dq
+        jax.ShapeDtypeStruct((b, h, l, d), jnp.float32),  # dk
+        jax.ShapeDtypeStruct((b, h, l, d), jnp.float32),  # dv
+        jax.ShapeDtypeStruct((b, h, l, l), jnp.float32),  # de
+    ]
+    out_specs = [qspec, qspec, qspec, llspec]
+    if gated:
+        out_shape.append(jax.ShapeDtypeStruct((b, h, l, l), jnp.float32))
+        out_specs.append(llspec)
+
+    kernel = functools.partial(
+        _bwd_kernel, gated=gated, has_full_mask=has_full_mask,
+        clip_lo=clip_lo, clip_hi=clip_hi, random_mask_prob=random_mask_prob,
+        attn_dropout=attn_dropout, training=training, scale=scale)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, h),
+        in_specs=in_specs,
+        out_specs=out_specs,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=_interpret(),
+    )(seed, *inputs)
+
+    if gated:
+        dq, dk, dv, de, dg = outs
+    else:
+        dq, dk, dv, de = outs
+        dg = None
+    # grads for (q, k, v, e, g, masks, seed) — masks/seed are non-differentiable
+    import numpy as np
+    dmadd = jnp.zeros_like(madd)
+    dmaddf = None if maddf is None else jnp.zeros_like(maddf)
+    dseed = np.zeros(seed.shape, dtype=jax.dtypes.float0)
+    return dq, dk, dv, de, dg, (dmadd, dmaddf), dseed
+
+
+def _bwd_wrapper(clip, random_mask_prob, attn_dropout, training, gated,
+                 residuals, cotangents):
+    return _egt_core_bwd_impl(clip, random_mask_prob, attn_dropout, training,
+                              gated, residuals, cotangents)
+
+
+_egt_core.defvjp(_egt_core_fwd, _bwd_wrapper)
+
+
+# ------------------------------------------------------------------- public entry
+
+
+class FusedAttentionOutput(NamedTuple):
+    v_att: jax.Array          # (b, l, d*h) — degree-scaled, ready for out-proj
+    h_hat: jax.Array          # (b, h, l, l) head-major (for the edge stream)
+
+
+def egt_attention_fused(
+    q, k, v,                       # (b, h, l, d)
+    e_bias,                        # (b, h, l, l)
+    gates,                         # (b, h, l, l) | None
+    *,
+    node_mask=None,                # (b, l) bool
+    attn_mask_hm=None,             # (b, l, l) 0/1 hard mask (head-shared)
+    clip_logits_value=(-5.0, 5.0),
+    scale_degree=False,
+    scaler_type="log",
+    num_virtual_nodes=0,
+    random_mask_prob=0.0,
+    attn_dropout=0.0,
+    training=False,
+    rng=None,
+) -> FusedAttentionOutput:
+    """Fused path with the exact semantics of `egt.egt_attention` (head-major I/O)."""
+    b, h, l, d = q.shape
+    gated = gates is not None
+    if scale_degree and not gated:
+        raise ValueError("scale_degree requires gated attention")
+
+    if node_mask is None:
+        madd = jnp.zeros((b, 1, l), jnp.float32)
+    else:
+        madd = ((node_mask.astype(jnp.float32) - 1.0) * 1e9)[:, None, :]
+    maddf = None
+    if attn_mask_hm is not None:
+        maddf = (attn_mask_hm.astype(jnp.float32) - 1.0) * 1e9
+
+    stochastic = training and (random_mask_prob > 0.0 or attn_dropout > 0.0)
+    if stochastic:
+        if rng is None:
+            raise ValueError("training stochasticity requires an rng")
+        seed = jax.random.randint(rng, (1,), 0, 2 ** 31 - 1, dtype=jnp.int32)
+    else:
+        seed = jnp.zeros((1,), jnp.int32)
+
+    clip = tuple(clip_logits_value) if clip_logits_value is not None else None
+    out = _egt_core(q.astype(jnp.float32), k.astype(jnp.float32),
+                    v.astype(jnp.float32), e_bias.astype(jnp.float32),
+                    gates.astype(jnp.float32) if gated else None,
+                    (madd, maddf), seed,
+                    clip, float(random_mask_prob), float(attn_dropout),
+                    bool(training), gated)
+    v_att, h_hat, degrees = out
+
+    if scale_degree:
+        degrees = degrees[:, :, 0, :]            # (b, h, 1, l) -> (b, h, l)
+        scalers = jnp.log1p(degrees) if scaler_type == "log" else degrees
+        if num_virtual_nodes > 0:
+            non_vn = scalers[:, :, num_virtual_nodes:]
+            scalers = jnp.pad(non_vn, ((0, 0), (0, 0), (num_virtual_nodes, 0)),
+                              constant_values=1.0)
+        v_att = v_att * scalers[..., None]
+
+    # (b, h, l, d) -> (b, l, d, h) -> (b, l, d*h): matches the reference's
+    # [d, h]-ordered head flattening (`egt_layers.py:139-141`).
+    v_flat = jnp.transpose(v_att, (0, 2, 3, 1)).reshape(b, l, d * h)
+    return FusedAttentionOutput(v_att=v_flat, h_hat=h_hat)

@@ -174,6 +174,7 @@ class TrainingBase:
     def load_model(self):
         cfg = self.get_model_config()
         cfg.max_length = self.pad_len
+        cfg.fused_attention = bool(self.config.use_pallas)
         self.model_config = cfg
         self.model = EGTGraphModel(cfg)
         self.params = self.model.init(jax.random.PRNGKey(self.config.seed))

@@ -23,6 +23,7 @@ import numpy as np
 
 from . import graph_ops
 from . import hdf5_io
+from .. import native
 
 
 @dataclass
@@ -263,31 +264,57 @@ class GraphDataset:
         elif self.pe == "eig":
             pe_out = np.zeros((b, L, self.num_features), np.float32)
 
+        use_native = native.available() and nb > 0
+        if use_native:
+            # C++ assembler (egt_tpu/native): all O(B*E) dense scatters in one
+            # OpenMP pass; semantics identical to the numpy path below.
+            native.assemble_adjacency(sel, data["num_nodes"],
+                                      data["edges_flat"], data["edges_off"],
+                                      L, gm)
+            if fm is not None:
+                if spec.edge_feat_kind == "int":
+                    native.assemble_feature_matrix_i32(
+                        sel, data["edges_flat"], data["edges_off"],
+                        data["edge_features_flat"], data["edge_features_off"],
+                        L, fm)
+                else:
+                    F = spec.edge_feat_dim
+                    native.assemble_feature_matrix_f32(
+                        sel, data["edges_flat"], data["edges_off"],
+                        data["edge_features_flat"].reshape(-1, F),
+                        data["edge_features_off"], F, L, fm)
+            if spec.target_kind == "edge_matrix":
+                native.assemble_edge_targets(
+                    sel, data["edges_flat"], data["edges_off"],
+                    data["target_flat"], data["target_off"], L, tgt)
+
         for j, i in enumerate(sel):
             n = int(num_nodes[j])
-            edges = ragged("edges", i).reshape(-1, 2)
             nodes = ragged("node_features", i)
             if spec.node_feat_kind == "int":
                 nf[j, :n] = nodes
             else:
                 nf[j, :n] = nodes.reshape(n, spec.node_feat_dim)
 
-            gm[j] = graph_ops.adjacency_matrix(edges, n, out_len=L)
-
-            if fm is not None:
-                ef = ragged("edge_features", i)
-                if spec.edge_feat_kind == "int":
-                    fm[j] = graph_ops.feature_matrix(
-                        edges, n, ef.astype(np.int32), out_len=L, dtype=np.int32)
-                else:
-                    fm[j] = graph_ops.feature_matrix(
-                        edges, n, ef.reshape(-1, spec.edge_feat_dim), out_len=L)
+            if not use_native:
+                edges = ragged("edges", i).reshape(-1, 2)
+                gm[j] = graph_ops.adjacency_matrix(edges, n, out_len=L)
+                if fm is not None:
+                    ef = ragged("edge_features", i)
+                    if spec.edge_feat_kind == "int":
+                        fm[j] = graph_ops.feature_matrix(
+                            edges, n, ef.astype(np.int32), out_len=L,
+                            dtype=np.int32)
+                    else:
+                        fm[j] = graph_ops.feature_matrix(
+                            edges, n, ef.reshape(-1, spec.edge_feat_dim),
+                            out_len=L)
+                if spec.target_kind == "edge_matrix":
+                    labels = ragged("target", i).astype(np.int32)
+                    np.add.at(tgt[j], (edges[:, 0], edges[:, 1]), labels)
 
             if spec.target_kind == "node_labels":
                 tgt[j, :n] = ragged("target", i)
-            elif spec.target_kind == "edge_matrix":
-                labels = ragged("target", i).astype(np.int32)
-                np.add.at(tgt[j], (edges[:, 0], edges[:, 1]), labels)
 
             if pe_out is not None:
                 pe = ragged("pe", i)

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from ..data.prefetch import Prefetcher
 from ..models.graph_model import EGTGraphModel, GraphModelConfig
 from ..parallel import mesh as meshlib
 from ..utils.hparams import Derived, HParams, join_path, read_config_from_file, \
@@ -339,7 +340,10 @@ class TrainingBase:
             t0 = time.time()
             acc = M.MetricAccumulator()
             n_steps = 0
-            for batch in self._batches("training", shuffle=True, epoch=epoch):
+            batches = Prefetcher(
+                self._batches("training", shuffle=True, epoch=epoch),
+                transform=lambda b: meshlib.put_global_batch(b, self.mesh))
+            for dbatch in batches:
                 step = state["global_step"]
                 if warmup_steps > 0:
                     lr, stop_sched = schedules.warmup_cosine_lr(
@@ -351,7 +355,6 @@ class TrainingBase:
                         stop = True
                         break
                 rng = jax.random.fold_in(base_rng, step)
-                dbatch = meshlib.put_global_batch(batch, self.mesh)
                 self.params, self.opt_state, pairs = self._train_step(
                     self.params, self.opt_state, dbatch, rng,
                     np.float32(state["lr"]))
@@ -421,10 +424,12 @@ class TrainingBase:
 
     def evaluate_split(self, split: str, max_steps=None) -> dict:
         acc = M.MetricAccumulator()
-        for i, batch in enumerate(self._batches(split, shuffle=False)):
+        batches = Prefetcher(
+            self._batches(split, shuffle=False),
+            transform=lambda b: meshlib.put_global_batch(b, self.mesh))
+        for i, dbatch in enumerate(batches):
             if max_steps and i >= max_steps:
                 break
-            dbatch = meshlib.put_global_batch(batch, self.mesh)
             acc.update(jax.device_get(self._eval_step(self.params, dbatch)))
         return acc.result()
 

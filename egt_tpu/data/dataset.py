@@ -197,21 +197,53 @@ class GraphDataset:
 
     def batches(self, split: str, batch_size: int, *, shuffle: bool = False,
                 seed: int = 0, pad_len: int | None = None,
-                drop_remainder: bool = False, epoch: int = 0):
-        """Yield dicts of fixed-shape numpy arrays (see `_build_batch`)."""
+                drop_remainder: bool = False, epoch: int = 0,
+                buckets=None):
+        """Yield dicts of fixed-shape numpy arrays (see `_build_batch`).
+
+        With `buckets` (ascending pad lengths), each record goes to the smallest
+        bucket that fits it and batches are formed per bucket — XLA compiles one
+        program per bucket shape instead of padding everything to the global max
+        (the static-shape answer to the reference's per-batch dynamic
+        `padded_batch`, `dataset_base.py:100-111`). Bucket batches are interleaved
+        pseudo-randomly when shuffling.
+        """
         data = self.ensure_cache(split)
         n = len(data["num_nodes"])
         idx = np.arange(n)
+        rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))
         if shuffle:
-            rng = np.random.default_rng(np.random.SeedSequence([seed, epoch]))
             rng.shuffle(idx)
-        if pad_len is None:
-            pad_len = self.pad_length()
-        for start in range(0, n, batch_size):
-            sel = idx[start: start + batch_size]
-            if len(sel) < batch_size and drop_remainder:
-                return
-            yield self._build_batch(data, sel, batch_size, pad_len)
+
+        if buckets is None:
+            if pad_len is None:
+                pad_len = self.pad_length()
+            for start in range(0, n, batch_size):
+                sel = idx[start: start + batch_size]
+                if len(sel) < batch_size and drop_remainder:
+                    return
+                yield self._build_batch(data, sel, batch_size, pad_len)
+            return
+
+        buckets = sorted(buckets)
+        max_needed = int(data["num_nodes"].max())
+        if buckets[-1] < max_needed:
+            raise ValueError(f"largest bucket {buckets[-1]} < max graph size "
+                             f"{max_needed}")
+        sizes = data["num_nodes"][idx]
+        assignment = np.searchsorted(np.asarray(buckets), sizes, side="left")
+        chunks = []
+        for bi, blen in enumerate(buckets):
+            bidx = idx[assignment == bi]
+            for start in range(0, len(bidx), batch_size):
+                sel = bidx[start: start + batch_size]
+                if len(sel) < batch_size and drop_remainder:
+                    continue
+                chunks.append((blen, sel))
+        if shuffle:
+            rng.shuffle(chunks)
+        for blen, sel in chunks:
+            yield self._build_batch(data, sel, batch_size, blen)
 
     def _build_batch(self, data: dict, sel: np.ndarray, batch_size: int,
                      pad_len: int) -> dict:

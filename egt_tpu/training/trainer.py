@@ -129,6 +129,7 @@ class TrainingBase:
             num_devices=None,            # limit the mesh; None = all local devices
             reload_on_nan=False,         # reference `relod_on_nan` capability
             log_tensorboard=True,
+            length_buckets=None,         # pad-length buckets for dynamic datasets
         )
         return c
 
@@ -168,7 +169,7 @@ class TrainingBase:
         bs = self.config.batch_size * bmult
         return self.dataset.batches(
             split, bs, shuffle=shuffle, seed=self.config.seed, epoch=epoch,
-            pad_len=self.pad_len)
+            pad_len=self.pad_len, buckets=self.config.length_buckets)
 
     # ----------------------------------------------------------------- model build
 

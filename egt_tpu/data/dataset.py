@@ -263,9 +263,11 @@ class GraphDataset:
         batch["num_nodes"][:nb] = num_nodes
         batch["sample_mask"][:nb] = 1.0
 
-        # node features
+        # node features (int may be (l,) tokens or (l, C) multi-column tokens)
         if spec.node_feat_kind == "int":
-            nf = np.full((b, L), -1, np.int32)
+            shape = (b, L) if spec.node_feat_dim is None \
+                else (b, L, spec.node_feat_dim)
+            nf = np.full(shape, -1, np.int32)
         else:
             nf = np.full((b, L, spec.node_feat_dim), spec.mask_value, np.float32)
         # graph matrix
@@ -274,7 +276,9 @@ class GraphDataset:
         fm = None
         if spec.has_edge_features:
             if spec.edge_feat_kind == "int":
-                fm = np.full((b, L, L), -1, np.int32)
+                shape = (b, L, L) if spec.edge_feat_dim is None \
+                    else (b, L, L, spec.edge_feat_dim)
+                fm = np.full(shape, -1, np.int32)
             else:
                 fm = np.full((b, L, L, spec.edge_feat_dim), spec.mask_value,
                              np.float32)
@@ -296,7 +300,9 @@ class GraphDataset:
         elif self.pe == "eig":
             pe_out = np.zeros((b, L, self.num_features), np.float32)
 
-        use_native = native.available() and nb > 0
+        multi_int_edges = (spec.edge_feat_kind == "int"
+                           and spec.edge_feat_dim is not None)
+        use_native = native.available() and nb > 0 and not multi_int_edges
         if use_native:
             # C++ assembler (egt_tpu/native): all O(B*E) dense scatters in one
             # OpenMP pass; semantics identical to the numpy path below.
@@ -323,7 +329,7 @@ class GraphDataset:
         for j, i in enumerate(sel):
             n = int(num_nodes[j])
             nodes = ragged("node_features", i)
-            if spec.node_feat_kind == "int":
+            if spec.node_feat_kind == "int" and spec.node_feat_dim is None:
                 nf[j, :n] = nodes
             else:
                 nf[j, :n] = nodes.reshape(n, spec.node_feat_dim)
@@ -334,6 +340,8 @@ class GraphDataset:
                 if fm is not None:
                     ef = ragged("edge_features", i)
                     if spec.edge_feat_kind == "int":
+                        if spec.edge_feat_dim is not None:
+                            ef = ef.reshape(-1, spec.edge_feat_dim)
                         fm[j] = graph_ops.feature_matrix(
                             edges, n, ef.astype(np.int32), out_len=L,
                             dtype=np.int32)

@@ -51,7 +51,20 @@ TSP = DatasetSpec(
     edge_feat_kind="float", edge_feat_dim=1,
     target_kind="edge_matrix", max_length=None)
 
+# PCQM4Mv2 (OGB-LSC): multi-column categorical atom/bond features, HOMO-LUMO gap
+# regression. The reference repo defers this task to its companion PyTorch repo
+# (README.md:14); here it is a first-class binding.
+PCQM4MV2 = DatasetSpec(
+    name="PCQM4MV2", node_feat_kind="int", node_feat_dim=9,
+    edge_feat_kind="int", edge_feat_dim=3,
+    target_kind="graph_value", max_length=None)
+
+# standard OGB atom/bond categorical vocab sizes
+OGB_ATOM_DIMS = (119, 4, 12, 12, 10, 6, 6, 2, 2)
+OGB_BOND_DIMS = (5, 6, 2)
+
 SPECS = {
+    "pcqm4mv2": PCQM4MV2,
     "zinc": ZINC,
     "zinc_full": ZINC_FULL,
     "mnist": MNIST,

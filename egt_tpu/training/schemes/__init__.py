@@ -17,6 +17,7 @@ _MODULES = {
     "mnist": ".mnist",
     "cifar10": ".cifar10",
     "tsp": ".tsp",
+    "pcqm4mv2": ".pcqm4mv2",
 }
 
 

@@ -130,6 +130,7 @@ class TrainingBase:
             reload_on_nan=False,         # reference `relod_on_nan` capability
             log_tensorboard=True,
             length_buckets=None,         # pad-length buckets for dynamic datasets
+            remat=False,                 # per-layer rematerialization
         )
         return c
 
@@ -177,6 +178,8 @@ class TrainingBase:
         cfg = self.get_model_config()
         cfg.max_length = self.pad_len
         cfg.fused_attention = bool(self.config.use_pallas)
+        cfg.compute_dtype = self.config.compute_dtype
+        cfg.remat = bool(self.config.remat)
         self.model_config = cfg
         self.model = EGTGraphModel(cfg)
         self.params = self.model.init(jax.random.PRNGKey(self.config.seed))
@@ -212,13 +215,9 @@ class TrainingBase:
     # ---------------------------------------------------------------- step builders
 
     def _compute_loss(self, params, batch, rng, training: bool):
-        dtype = jnp.bfloat16 if self.config.compute_dtype == "bfloat16" \
-            else jnp.float32
-        if dtype != jnp.float32:
-            batch = {k: (v.astype(dtype) if v.dtype == jnp.float32 else v)
-                     for k, v in batch.items()}
+        # compute_dtype is handled inside the model (activations cast after
+        # embedding, f32 islands for norms/softmax, f32 output).
         out, ctx = self.model.apply(params, batch, training=training, rng=rng)
-        out = out.astype(jnp.float32)
         mask = self.model.output_mask(batch)
         loss, metric_pairs = self.loss_and_metrics(
             out, batch["target"], mask, batch.get("sample_mask"))

@@ -95,3 +95,49 @@ def run_one_step(n_devices: int, model_parallel: int | None = None,
     params, opt_state, loss = train_step(params, opt_state, batch,
                                          jax.random.PRNGKey(1))
     return float(loss)
+
+
+def run_one_step_sp(n_devices: int, sp: int | None = None,
+                    batch_size: int | None = None, max_len: int = 16) -> float:
+    """Full train step with combined DP x SP (edge partitioning): batch sharded
+    over 'data', the N x N attention grid + edge channel row-sharded over
+    'model' via shard_map, adam update on replicated params."""
+    from . import edge_partition as ep
+
+    if sp is None:
+        sp = 2 if n_devices % 2 == 0 and n_devices > 1 else 1
+    mesh = meshlib.make_mesh(n_devices, model_parallel=sp)
+    dp = n_devices // sp
+    if batch_size is None:
+        batch_size = 2 * dp
+    if max_len % sp:
+        raise ValueError("max_len must divide by sp")
+
+    cfg = tiny_model_config(random_mask_prob=0.0)  # sp fwd is deterministic here
+    model = EGTGraphModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    params = meshlib.replicate_tree(params, mesh)
+
+    optimizer = optim.make_optimizer("adam", 1e-3, params=params)
+    opt_state = optimizer.init(params)
+
+    rng = np.random.default_rng(0)
+    batch = synthetic_batch(rng, batch_size, max_len)
+
+    def loss_fn(p, b):
+        out = ep.edge_partitioned_forward(
+            model, p, b, mesh, axis=meshlib.MODEL_AXIS,
+            data_axis=meshlib.DATA_AXIS)
+        s, c = M.mae_loss(out, b["target"], None, b["sample_mask"])
+        return s / jnp.maximum(c, 1.0)
+
+    @jax.jit
+    def train_step(p, o, b):
+        loss, grads = jax.value_and_grad(loss_fn)(p, b)
+        updates, o = optimizer.update(grads, o, p)
+        p = optax.apply_updates(p, updates)
+        return p, o, loss
+
+    with mesh:
+        params, opt_state, loss = train_step(params, opt_state, batch)
+    return float(loss)

@@ -26,35 +26,43 @@ except AttributeError:  # pragma: no cover
 _ROW_SHARDED = ("graph_matrix", "feature_matrix")
 
 
-def batch_specs(batch: dict, axis: str = MODEL_AXIS) -> dict:
+def batch_specs(batch: dict, axis: str = MODEL_AXIS,
+                data_axis: str | None = None) -> dict:
+    """Partition specs for the batch: edge-grid fields row-sharded over `axis`;
+    with `data_axis` set, every field's leading (batch) axis is additionally
+    sharded over it (combined DP x SP)."""
     specs = {}
     for k, v in batch.items():
         if k in _ROW_SHARDED:
-            specs[k] = P(None, axis)
+            specs[k] = P(data_axis, axis)
         else:
-            specs[k] = P()
+            specs[k] = P(data_axis)
     return specs
 
 
-def output_spec(readout_kind: str, axis: str = MODEL_AXIS):
+def output_spec(readout_kind: str, axis: str = MODEL_AXIS,
+                data_axis: str | None = None):
     if readout_kind == "graph":
-        return P()                  # psum-pooled, replicated
+        return P(data_axis)             # psum-pooled over `axis`
     if readout_kind == "node":
-        return P(None, axis)        # (b, l, t) row-sharded
+        return P(data_axis, axis)       # (b, l, t) row-sharded
     if readout_kind == "edge":
-        return P(None, axis)        # (b, l, l, t) row-sharded
+        return P(data_axis, axis)       # (b, l, l, t) row-sharded
     raise ValueError(readout_kind)
 
 
 def edge_partitioned_forward(model, params, batch, mesh, axis: str = MODEL_AXIS,
+                             data_axis: str | None = None,
                              training: bool = False, rng=None):
-    """Run the model forward with the edge grid sharded over `axis`.
+    """Run the model forward with the edge grid sharded over `axis` (and the
+    batch optionally sharded over `data_axis` — combined DP x SP).
 
     `batch` is a host/global batch dict; row-sharded fields are partitioned by
-    shard_map, everything else is replicated. Returns the full (logical) output.
+    shard_map, everything else is replicated (per data shard). Returns the full
+    (logical) output.
     """
-    bspecs = batch_specs(batch, axis)
-    ospec = output_spec(model.cfg.readout_kind, axis)
+    bspecs = batch_specs(batch, axis, data_axis)
+    ospec = output_spec(model.cfg.readout_kind, axis, data_axis)
 
     def fn(params, batch):
         out, _ = model.apply(params, batch, training=training, rng=rng,

@@ -82,7 +82,7 @@ def main():
     # contention noise.
     iters = 30
     best = 0.0
-    for rep in range(3):
+    for rep in range(5):
         t0 = time.time()
         for i in range(iters):
             params, opt_state, loss = train_step(params, opt_state, batch, key)

@@ -131,6 +131,7 @@ class TrainingBase:
             log_tensorboard=True,
             length_buckets=None,         # pad-length buckets for dynamic datasets
             remat=False,                 # per-layer rematerialization
+            edge_partition=1,            # shard the NxN grid over this many chips
         )
         return c
 
@@ -184,8 +185,16 @@ class TrainingBase:
         self.model = EGTGraphModel(cfg)
         self.params = self.model.init(jax.random.PRNGKey(self.config.seed))
 
-        n_dev = self.config.num_devices if self.config.distributed else 1
-        self.mesh = meshlib.make_mesh(n_dev)
+        ep = int(self.config.edge_partition)
+        if ep > 1 and self.pad_len % ep:
+            raise ValueError(f"pad length {self.pad_len} must divide by "
+                             f"edge_partition={ep}")
+        if ep > 1 and not self.config.distributed:
+            n_dev = ep
+        else:
+            n_dev = self.config.num_devices if self.config.distributed else 1
+        self.mesh = meshlib.make_mesh(n_dev, model_parallel=ep)
+        self.edge_partition = ep
         self.params = meshlib.replicate_tree(self.params, self.mesh)
 
         self.optimizer = optim.make_optimizer(
@@ -214,24 +223,36 @@ class TrainingBase:
 
     # ---------------------------------------------------------------- step builders
 
+    def _forward(self, params, batch, rng, training: bool):
+        if self.edge_partition > 1:
+            from ..parallel.edge_partition import edge_partitioned_forward
+            out = edge_partitioned_forward(
+                self.model, params, batch, self.mesh,
+                axis=meshlib.MODEL_AXIS, data_axis=meshlib.DATA_AXIS,
+                training=training, rng=rng)
+            return out, None
+        return self.model.apply(params, batch, training=training, rng=rng)
+
     def _compute_loss(self, params, batch, rng, training: bool):
         # compute_dtype is handled inside the model (activations cast after
         # embedding, f32 islands for norms/softmax, f32 output).
-        out, ctx = self.model.apply(params, batch, training=training, rng=rng)
+        out, ctx = self._forward(params, batch, rng, training)
         mask = self.model.output_mask(batch)
         loss, metric_pairs = self.loss_and_metrics(
             out, batch["target"], mask, batch.get("sample_mask"))
         total = loss
-        for v in ctx.losses.values():
-            total = total + v
+        if ctx is not None:
+            for v in ctx.losses.values():
+                total = total + v
         if self.model_config.l2_reg > 0:
             l2 = sum(jnp.sum(jnp.square(x))
                      for path, x in jax.tree_util.tree_flatten_with_path(params)[0]
                      if getattr(path[-1], "key", None) in ("kernel", "table"))
             total = total + self.model_config.l2_reg * l2
-        for name, v in ctx.metrics.items():
-            metric_pairs[name] = (v, jnp.asarray(1.0))
-        return total, (metric_pairs, ctx.stats_updates)
+        if ctx is not None:
+            for name, v in ctx.metrics.items():
+                metric_pairs[name] = (v, jnp.asarray(1.0))
+        return total, (metric_pairs, ctx.stats_updates if ctx is not None else {})
 
     def _build_steps(self):
         rep = meshlib.replicated(self.mesh)
@@ -261,7 +282,7 @@ class TrainingBase:
             eval_step, in_shardings=(rep, bsh), out_shardings=rep)
 
         def predict_step(params, batch):
-            out, _ = self.model.apply(params, batch, training=False)
+            out, _ = self._forward(params, batch, None, False)
             return out
 
         self._predict_step = jax.jit(

@@ -132,6 +132,7 @@ class TrainingBase:
             length_buckets=None,         # pad-length buckets for dynamic datasets
             remat=False,                 # per-layer rematerialization
             edge_partition=1,            # shard the NxN grid over this many chips
+            profile_dir=None,            # capture a device trace of steps 10..15
         )
         return c
 
@@ -366,6 +367,13 @@ class TrainingBase:
                 transform=lambda b: meshlib.put_global_batch(b, self.mesh))
             for dbatch in batches:
                 step = state["global_step"]
+                if cfg.profile_dir:
+                    if step == 10:
+                        jax.profiler.start_trace(cfg.profile_dir)
+                    elif step == 16:
+                        jax.profiler.stop_trace()
+                        print(f"device trace written to {cfg.profile_dir}",
+                              flush=True)
                 if warmup_steps > 0:
                     lr, stop_sched = schedules.warmup_cosine_lr(
                         step, warmup_steps=warmup_steps, max_lr=cfg.initial_lr,
@@ -504,6 +512,31 @@ class TrainingBase:
             loaded = ckpt.load_weights(jax.device_get(self.params), wf)
             self.params = meshlib.replicate_tree(loaded, self.mesh)
             print(f'LOADED WEIGHT FILE "{wf}" FOR PREDICTIONS!', flush=True)
+
+    def make_predictions_on_split(self, split: str):
+        """Default prediction dump: stacked model outputs (+ per-record ids) to
+        predictions/<split>_predictions.npz (`TrainingBase.make_predictions`
+        analog, `training_base.py:366-377`). Schemes may override."""
+        outs, masks = [], []
+        for batch, out in self.predict_split(split):
+            keep = batch["sample_mask"] > 0
+            outs.append(np.asarray(out)[keep])
+        name = {"training": "trainset", "validation": "valset",
+                "test": "testset"}.get(split, split)
+        path = join_path(self.config.predictions_path,
+                         f"{name}_predictions.npz")
+        np.savez(path, predictions=np.concatenate(outs, axis=0))
+        print(f"saved predictions to {path}", flush=True)
+
+    def make_predictions(self):
+        self.pred_flag = True
+        self.prepare_for_test()
+        os.makedirs(self.config.predictions_path, exist_ok=True)
+        for split in ("training", "validation", "test"):
+            print("=" * 40, flush=True)
+            print(f"Prediction on {split}.", flush=True)
+            self.make_predictions_on_split(split)
+            print(flush=True)
 
     def do_evaluations_on_split(self, split: str):
         raise NotImplementedError

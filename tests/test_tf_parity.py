@@ -285,3 +285,124 @@ def test_tsp_model_parity(tf):
     grid_valid = valid[:, :, None] & valid[:, None, :]
     np.testing.assert_allclose(np.asarray(my_out)[grid_valid],
                                ref_out[grid_valid], rtol=1e-4, atol=1e-4)
+
+
+def test_zinc_eig_parity(tf):
+    from lib.models.zinc.dc import DCEigTransformer
+
+    model, params = my_model_and_params(
+        use_svd=False, use_eig=True, num_eig_features=8, sel_eig_features=4,
+        transform_eig=False)
+    ref_kw = dict(REF_COMMON)
+    ref_kw.pop("use_svd"); ref_kw.pop("num_svd_features")
+    ref_kw.pop("sel_svd_features"); ref_kw.pop("transform_svd")
+    ref_model = DCEigTransformer(use_eig=True, num_eig_features=8,
+                                 sel_eig_features=4, transform_eig=False,
+                                 **ref_kw).get_model()
+    load_params_into_keras(ref_model, params)
+
+    rng = np.random.default_rng(5)
+    from tests.test_model_forward import random_zinc_batch
+    batch = random_zinc_batch(rng, pe="eig", k=8)
+    ref_out = run_reference(tf, ref_model, batch,
+                            [t.name.split(":")[0] for t in ref_model.inputs])
+    my_out, _ = model.apply(params, batch)
+    np.testing.assert_allclose(np.asarray(my_out), ref_out, rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_zinc_node2edge_embed_parity(tf):
+    from lib.models.zinc.dc import DCSVDTransformer
+
+    model, params = my_model_and_params(node2edge_embed=True)
+    ref_model = DCSVDTransformer(node2edge_embed=True,
+                                 **REF_COMMON).get_model()
+    load_params_into_keras(ref_model, params)
+    rng = np.random.default_rng(6)
+    batch = zinc_like_batch(rng)
+    ref_out = run_reference(tf, ref_model, batch,
+                            [t.name.split(":")[0] for t in ref_model.inputs])
+    my_out, _ = model.apply(params, batch)
+    np.testing.assert_allclose(np.asarray(my_out), ref_out, rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_mnist_model_parity(tf):
+    from lib.models.mnist.dc import DCSVDTransformer
+
+    b, l = 3, 12
+    model, params = my_model_and_params(
+        node_input_kind="dense", node_feature_dim=3,
+        edge_input_kind="dense", edge_feature_dim=1,
+        readout_kind="graph", num_targets=10)
+    ref_model = DCSVDTransformer(num_node_features=3, num_edge_features=1,
+                                 num_target_labels=10,
+                                 **REF_COMMON).get_model()
+    load_params_into_keras(ref_model, params)
+
+    rng = np.random.default_rng(7)
+    batch = zinc_like_batch(rng, b=b, l=l)
+    valid = batch["node_features"] >= 0
+    nf = np.full((b, l, 3), -1.0, np.float32)
+    fm = np.full((b, l, l, 1), -1.0, np.float32)
+    for i in range(b):
+        n = valid[i].sum()
+        nf[i, :n] = rng.random((n, 3))
+        fm[i, :n, :n, 0] = rng.random((n, n))
+    batch["node_features"] = nf
+    batch["feature_matrix"] = fm
+    ref_out = run_reference(tf, ref_model, batch,
+                            [t.name.split(":")[0] for t in ref_model.inputs])
+    my_out, _ = model.apply(params, batch)
+    np.testing.assert_allclose(np.asarray(my_out), ref_out, rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_xtalk_parity(tf):
+    """Node<->edge FFN cross-talk against the reference Lambda implementation."""
+    from lib.models.zinc.dc import DCSVDTransformer
+
+    model, params = my_model_and_params(node2edge_xtalk=0.5,
+                                        edge2node_xtalk=0.5)
+    ref_model = DCSVDTransformer(node2edge_xtalk=0.5, edge2node_xtalk=0.5,
+                                 **REF_COMMON).get_model()
+    load_params_into_keras(ref_model, params)
+    rng = np.random.default_rng(8)
+    batch = zinc_like_batch(rng)
+    ref_out = run_reference(tf, ref_model, batch,
+                            [t.name.split(":")[0] for t in ref_model.inputs])
+    my_out, _ = model.apply(params, batch)
+    np.testing.assert_allclose(np.asarray(my_out), ref_out, rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_add_n_norm_parity(tf):
+    """Post-norm (add_n_norm=True) layer arrangement."""
+    from lib.models.zinc.dc import DCSVDTransformer
+
+    model, params = my_model_and_params(add_n_norm=True)
+    ref_model = DCSVDTransformer(add_n_norm=True, **REF_COMMON).get_model()
+    load_params_into_keras(ref_model, params)
+    rng = np.random.default_rng(9)
+    batch = zinc_like_batch(rng)
+    ref_out = run_reference(tf, ref_model, batch,
+                            [t.name.split(":")[0] for t in ref_model.inputs])
+    my_out, _ = model.apply(params, batch)
+    np.testing.assert_allclose(np.asarray(my_out), ref_out, rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_scale_degree_parity(tf):
+    from lib.models.zinc.dc import DCSVDTransformer
+
+    model, params = my_model_and_params(scale_degree=True, scaler_type="log")
+    ref_model = DCSVDTransformer(scale_degree=True, scaler_type="log",
+                                 **REF_COMMON).get_model()
+    load_params_into_keras(ref_model, params)
+    rng = np.random.default_rng(10)
+    batch = zinc_like_batch(rng)
+    ref_out = run_reference(tf, ref_model, batch,
+                            [t.name.split(":")[0] for t in ref_model.inputs])
+    my_out, _ = model.apply(params, batch)
+    np.testing.assert_allclose(np.asarray(my_out), ref_out, rtol=1e-4,
+                               atol=1e-4)

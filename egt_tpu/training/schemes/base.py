@@ -10,7 +10,6 @@ live in sibling modules and are resolved by name '<dataset>.<pe>' (see __init__.
 from __future__ import annotations
 
 from ...data.dataset import DatasetSpec, GraphDataset
-from ...models.graph_model import GraphModelConfig
 from ...utils.hparams import Derived, HParams
 from ..trainer import TrainingBase
 

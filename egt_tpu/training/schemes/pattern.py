@@ -5,7 +5,6 @@ valid nodes, val_xent monitored; sklearn-based SBM evaluation."""
 from __future__ import annotations
 
 import jax.numpy as jnp
-import numpy as np
 
 from ...data import datasets as D
 from ...models.graph_model import GraphModelConfig

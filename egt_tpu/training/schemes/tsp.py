@@ -15,7 +15,7 @@ from sklearn.metrics import accuracy_score, f1_score, precision_score, recall_sc
 
 from ...data import datasets as D
 from ...models.graph_model import GraphModelConfig
-from ...utils.hparams import Derived, HParams
+from ...utils.hparams import HParams
 from .. import metrics as M
 from .base import BaseSVDModelScheme
 

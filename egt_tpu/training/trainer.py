@@ -23,7 +23,6 @@ from __future__ import annotations
 import json
 import os
 import time
-from functools import partial
 from pathlib import Path
 
 import jax
@@ -34,8 +33,7 @@ import optax
 from ..data.prefetch import Prefetcher
 from ..models.graph_model import EGTGraphModel, GraphModelConfig
 from ..parallel import mesh as meshlib
-from ..utils.hparams import Derived, HParams, join_path, read_config_from_file, \
-    save_config_to_file
+from ..utils.hparams import Derived, HParams, join_path, save_config_to_file
 from . import checkpoint as ckpt
 from . import metrics as M
 from . import optim

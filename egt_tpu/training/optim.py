@@ -40,10 +40,12 @@ def make_optimizer(name: str = "adam", learning_rate: float = 5e-4,
     name = name.lower()
 
     def base(lr):
+        # eps values match the Keras defaults the reference trains with
+        # (tf.keras Adam eps=1e-7, RMSprop eps=1e-7).
         if name == "adam":
-            return optax.adam(lr)
+            return optax.adam(lr, eps=1e-7)
         if name == "rmsprop":
-            return optax.rmsprop(lr)
+            return optax.rmsprop(lr, eps=1e-7)
         if name == "sgd":
             return optax.sgd(lr)
         raise ValueError(f"unknown optimizer {name!r}")

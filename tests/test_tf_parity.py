@@ -406,3 +406,52 @@ def test_scale_degree_parity(tf):
     my_out, _ = model.apply(params, batch)
     np.testing.assert_allclose(np.asarray(my_out), ref_out, rtol=1e-4,
                                atol=1e-4)
+
+
+def test_gradient_parity(tf):
+    """Backward-pass parity: gradients of the MAE loss w.r.t. every weight match
+    the reference model's GradientTape gradients on the same params and batch."""
+    import jax
+    import jax.numpy as jnp
+    from lib.models.zinc.dc import DCSVDTransformer
+
+    model, params = my_model_and_params()
+    ref_model = DCSVDTransformer(**REF_COMMON).get_model()
+    load_params_into_keras(ref_model, params)
+
+    rng = np.random.default_rng(11)
+    batch = zinc_like_batch(rng)
+    target = rng.normal(size=(4, 1)).astype(np.float32)
+
+    # --- reference gradients
+    feeds = [tf.constant(np.asarray(batch[t.name.split(":")[0]], np.float32))
+             for t in ref_model.inputs]
+    with tf.GradientTape() as tape:
+        out = ref_model(feeds, training=False)
+        loss = tf.reduce_mean(tf.abs(out - target))
+    ref_grads = tape.gradient(loss, ref_model.trainable_weights)
+    ref_by_name = {}
+    for w, g in zip(ref_model.trainable_weights, ref_grads):
+        if isinstance(g, tf.IndexedSlices):  # embedding grads come back sparse
+            g = tf.math.unsorted_segment_sum(g.values, g.indices,
+                                             g.dense_shape[0])
+        ref_by_name[w.name] = np.asarray(g)
+
+    # --- our gradients
+    def loss_fn(p):
+        out, _ = model.apply(p, batch)
+        return jnp.mean(jnp.abs(out - target))
+
+    my_loss = float(loss_fn(params))
+    my_grads = jax.grad(loss_fn)(params)
+
+    np.testing.assert_allclose(my_loss, float(loss), rtol=1e-5, atol=1e-6)
+
+    n_checked = 0
+    for name, g_ref in ref_by_name.items():
+        path = keras_name_to_path(name)
+        g_mine = np.asarray(resolve_path(my_grads, path))
+        np.testing.assert_allclose(g_mine, g_ref, rtol=5e-4, atol=1e-5,
+                                   err_msg=name)
+        n_checked += 1
+    assert n_checked == len(ref_model.trainable_weights)

@@ -455,3 +455,59 @@ def test_gradient_parity(tf):
                                    err_msg=name)
         n_checked += 1
     assert n_checked == len(ref_model.trainable_weights)
+
+
+def test_training_trajectory_parity(tf):
+    """20 Adam steps on a fixed batch: the loss trajectories of the two
+    frameworks must track (same params, same data, same optimizer config)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from lib.models.zinc.dc import DCSVDTransformer
+
+    from egt_tpu.training import optim as my_optim
+
+    model, params = my_model_and_params()
+    ref_model = DCSVDTransformer(**REF_COMMON).get_model()
+    load_params_into_keras(ref_model, params)
+
+    rng = np.random.default_rng(12)
+    batch = zinc_like_batch(rng)
+    target = rng.normal(size=(4, 1)).astype(np.float32)
+    lr = 1e-3
+
+    # --- reference: manual GradientTape + Keras Adam
+    ref_opt = tf.keras.optimizers.Adam(learning_rate=lr)
+    feeds = [tf.constant(np.asarray(batch[t.name.split(":")[0]], np.float32))
+             for t in ref_model.inputs]
+    ref_losses = []
+    for _ in range(20):
+        with tf.GradientTape() as tape:
+            out = ref_model(feeds, training=False)  # no stochasticity
+            loss = tf.reduce_mean(tf.abs(out - target))
+        grads = tape.gradient(loss, ref_model.trainable_weights)
+        ref_opt.apply_gradients(zip(grads, ref_model.trainable_weights))
+        ref_losses.append(float(loss))
+
+    # --- ours: optax Adam (Keras-matching eps)
+    optimizer = my_optim.make_optimizer("adam", lr, params=params)
+    opt_state = optimizer.init(params)
+
+    def loss_fn(p):
+        out, _ = model.apply(p, batch)
+        return jnp.mean(jnp.abs(out - target))
+
+    @jax.jit
+    def step(p, o):
+        loss, grads = jax.value_and_grad(loss_fn)(p)
+        updates, o = optimizer.update(grads, o, p)
+        return optax.apply_updates(p, updates), o, loss
+
+    my_losses = []
+    p, o = params, opt_state
+    for _ in range(20):
+        p, o, loss = step(p, o)
+        my_losses.append(float(loss))
+
+    np.testing.assert_allclose(my_losses, ref_losses, rtol=2e-3, atol=2e-4)
+    assert my_losses[-1] < my_losses[0]  # it actually optimizes

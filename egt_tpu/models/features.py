@@ -103,18 +103,32 @@ def stack_hops(adj, upto_hop: int, clip_hops: bool = True):
     return jnp.stack(hops, axis=-1)
 
 
-def stack_hops_sp(adj_rows, upto_hop: int, axis: str, clip_hops: bool = True):
+def stack_hops_sp(adj_rows, upto_hop: int, axis: str, clip_hops: bool = True,
+                  include_xpose: bool = False, index=None, lq: int | None = None):
     """Row-sharded hop stacking: each hop's local rows need the previous hop's FULL
-    matrix, so the row shard is all-gathered over the mesh axis per hop."""
+    matrix, so the row shard is all-gathered over the mesh axis per hop. With
+    `include_xpose`, each hop's transpose rows are sliced out of the gathered full
+    hop (transpose rows = full columns) and concatenated on the hop axis, matching
+    `graph_model_base.py:120-122`."""
     hops = [adj_rows]
+    hops_full = []
     hop_rows = adj_rows
     for _ in range(upto_hop - 1):
         hop_full = jax.lax.all_gather(hop_rows, axis, axis=1, tiled=True)
+        hops_full.append(hop_full)
         hop_rows = adj_rows @ hop_full
         if clip_hops:
             hop_rows = jnp.clip(hop_rows, 0.0, 1.0)
         hops.append(hop_rows)
-    return jnp.stack(hops, axis=-1)
+    stacked = jnp.stack(hops, axis=-1)
+    if not include_xpose:
+        return stacked
+    hops_full.append(jax.lax.all_gather(hop_rows, axis, axis=1, tiled=True))
+    xpose_rows = [
+        jax.lax.dynamic_slice_in_dim(jnp.swapaxes(hf, 1, 2), index * lq, lq, 1)
+        for hf in hops_full
+    ]
+    return jnp.concatenate([stacked, jnp.stack(xpose_rows, axis=-1)], axis=-1)
 
 
 def distance_targets(adj, distance_target: int):
@@ -128,6 +142,17 @@ def distance_targets(adj, distance_target: int):
     return jnp.round(sum(hops)).astype(jnp.int32)
 
 
+def distance_targets_sp(adj_rows, distance_target: int, axis: str):
+    """Row-sharded distance targets: per-hop all-gather, like `stack_hops_sp`."""
+    total = adj_rows
+    hop_rows = adj_rows
+    for _ in range(distance_target - 1):
+        hop_full = jax.lax.all_gather(hop_rows, axis, axis=1, tiled=True)
+        hop_rows = jnp.clip(adj_rows @ hop_full, 0.0, 1.0)
+        total = total + hop_rows
+    return jnp.round(total).astype(jnp.int32)
+
+
 def degree_encoding(adj, max_degree: int, bidir: bool):
     """One-hot clipped in/out degrees (`graph_model_base.py:149-171`)."""
     in_deg = jnp.minimum(jnp.sum(adj, axis=1), max_degree).astype(jnp.int32)
@@ -135,6 +160,22 @@ def degree_encoding(adj, max_degree: int, bidir: bool):
     if not bidir:
         return in_oh
     out_deg = jnp.minimum(jnp.sum(adj, axis=2), max_degree).astype(jnp.int32)
+    out_oh = jax.nn.one_hot(out_deg, max_degree + 1, dtype=jnp.float32)
+    return jnp.concatenate([in_oh, out_oh], axis=-1)
+
+
+def degree_encoding_sp(adj_rows, max_degree: int, bidir: bool, axis: str):
+    """Degree one-hots from a row shard: in-degrees (column sums) psum over
+    shards; out-degrees (row sums) are local rows, all-gathered. Feeds the full
+    (replicated) node stream."""
+    in_deg = jax.lax.psum(jnp.sum(adj_rows, axis=1), axis)
+    in_deg = jnp.minimum(in_deg, max_degree).astype(jnp.int32)
+    in_oh = jax.nn.one_hot(in_deg, max_degree + 1, dtype=jnp.float32)
+    if not bidir:
+        return in_oh
+    out_deg = jax.lax.all_gather(jnp.sum(adj_rows, axis=2), axis, axis=1,
+                                 tiled=True)
+    out_deg = jnp.minimum(out_deg, max_degree).astype(jnp.int32)
     out_oh = jax.nn.one_hot(out_deg, max_degree + 1, dtype=jnp.float32)
     return jnp.concatenate([in_oh, out_oh], axis=-1)
 
@@ -149,6 +190,21 @@ def edge_diffusion(e, adj, edge_mask2d, steps: int):
     for _ in range(steps):
         ed = jnp.einsum("bij,bjkl->bikl", a_norm, ed)
         outs.append(ed)
+    return jnp.concatenate(outs, axis=-1)
+
+
+def edge_diffusion_sp(e_rows, adj_rows, edge_mask2d_rows, steps: int, axis: str):
+    """Row-sharded diffusion: the column normalizer is a psum of row-partial
+    column sums; every step all-gathers the diffused rows so the next contraction
+    sees the full node axis."""
+    den = jax.lax.psum(jnp.sum(adj_rows, axis=1, keepdims=True), axis)
+    a_norm = jnp.where(den > 0, adj_rows / jnp.where(den > 0, den, 1.0), 0.0)
+    ed_rows = e_rows * edge_mask2d_rows.astype(e_rows.dtype)[..., None]
+    outs = []
+    for _ in range(steps):
+        ed_full = jax.lax.all_gather(ed_rows, axis, axis=1, tiled=True)
+        ed_rows = jnp.einsum("bij,bjkl->bikl", a_norm, ed_full)
+        outs.append(ed_rows)
     return jnp.concatenate(outs, axis=-1)
 
 
@@ -205,6 +261,14 @@ def pairwise_add(x):
     return row[:, :, None, :] + col[:, None, :, :]
 
 
+def pairwise_add_sp(x, index, lq: int):
+    """Row-sharded pairwise add: local row half against the full column half."""
+    w = x.shape[-1] // 2
+    row = jax.lax.dynamic_slice_in_dim(x[..., :w], index * lq, lq, 1)
+    col = x[..., w:]
+    return row[:, :, None, :] + col[:, None, :, :]
+
+
 def pairwise_cat(row, col):
     """PairwiseOp 'cat' (`pairwise_op.py:56-70`): (b,l,w),(b,m,w) -> (b,l,m,2w)."""
     b, l, w = row.shape
@@ -223,6 +287,22 @@ def prepend_virtual_nodes(h, vn_emb):
     tiled = jnp.broadcast_to(vn_emb[None].astype(h.dtype),
                              (b,) + vn_emb.shape)
     return jnp.concatenate([tiled, h], axis=1)
+
+
+def prepend_virtual_edges_sp(e_rows, ve_emb):
+    """Virtual-edge blocks for a row shard: every shard gets the FULL k virtual
+    rows (replicated — they are query rows every shard must compute identically)
+    plus the k virtual columns prepended to its local rows."""
+    b, lq, l, w = e_rows.shape
+    k = ve_emb.shape[0]
+    emb = ve_emb.astype(e_rows.dtype)
+    emb_r, emb_c = emb[None, :, None, :], emb[None, None, :, :]
+    box = jnp.broadcast_to(0.5 * (emb_r + emb_c), (b, k, k, w))
+    vn_rows = jnp.concatenate(
+        [box, jnp.broadcast_to(emb_r, (b, k, l, w))], axis=2)   # (b, k, k+l, w)
+    cols = jnp.broadcast_to(emb_c, (b, lq, k, w))
+    local = jnp.concatenate([cols, e_rows], axis=2)             # (b, lq, k+l, w)
+    return jnp.concatenate([vn_rows, local], axis=1)            # (b, k+lq, k+l, w)
 
 
 def prepend_virtual_edges(e, ve_emb):

@@ -332,7 +332,7 @@ class EGTGraphModel:
 
     # ----------------------------------------------------------------- embeddings
 
-    def _embed_nodes(self, params, batch, training, rng):
+    def _embed_nodes(self, params, batch, training, rng, sp=None):
         cfg = self.cfg
         nf = batch["node_features"]
         if cfg.node_input_kind == "tokens":
@@ -360,8 +360,13 @@ class EGTGraphModel:
                 transform=cfg.transform_eig, random_neg=cfg.random_neg,
                 training=training, rng=pe_rng)
         if cfg.max_degree_enc > 0:
-            deg = F.degree_encoding(batch["graph_matrix"], cfg.max_degree_enc,
-                                    cfg.bidir_degree)
+            if sp is not None:
+                deg = F.degree_encoding_sp(batch["graph_matrix"],
+                                           cfg.max_degree_enc,
+                                           cfg.bidir_degree, sp.axis)
+            else:
+                deg = F.degree_encoding(batch["graph_matrix"],
+                                        cfg.max_degree_enc, cfg.bidir_degree)
             h = h + F.dense(params["degree_emb"], deg)
         return h
 
@@ -387,15 +392,14 @@ class EGTGraphModel:
             adj = batch["graph_matrix"]
             if sp is not None:
                 hops = F.stack_hops_sp(adj, cfg.upto_hop, sp.axis,
-                                       cfg.clip_hops)
+                                       cfg.clip_hops,
+                                       include_xpose=cfg.include_xpose,
+                                       index=sp.index, lq=sp.lq)
             else:
                 hops = F.stack_hops(adj, cfg.upto_hop, cfg.clip_hops)
-            if cfg.include_xpose:
-                if sp is not None:
-                    raise NotImplementedError(
-                        "include_xpose under edge partitioning")
-                hops = jnp.concatenate(
-                    [hops, jnp.transpose(hops, (0, 2, 1, 3))], axis=-1)
+                if cfg.include_xpose:
+                    hops = jnp.concatenate(
+                        [hops, jnp.transpose(hops, (0, 2, 1, 3))], axis=-1)
             parts.append(F.dense(params["adj_emb"], hops))
         if cfg.node2edge_embed:
             nf = batch["node_features"]
@@ -403,13 +407,22 @@ class EGTGraphModel:
                 pe = F.token_embed(params["node2edge_emb"], nf)
             else:
                 pe = F.dense(params["node2edge_emb"], nf.astype(jnp.float32))
-            parts.append(F.pairwise_add(pe))
+            if sp is not None:
+                parts.append(F.pairwise_add_sp(pe, sp.index, sp.lq))
+            else:
+                parts.append(F.pairwise_add(pe))
         if cfg.max_diffuse_t > 0:
             em = self.edge_valid(batch)
-            parts.append(F.dense(
-                params["diffusion_emb"],
-                F.edge_diffusion(fm_emb, batch["graph_matrix"], em,
-                                 cfg.max_diffuse_t)))
+            if sp is not None:
+                parts.append(F.dense(
+                    params["diffusion_emb"],
+                    F.edge_diffusion_sp(fm_emb, batch["graph_matrix"], em,
+                                        cfg.max_diffuse_t, sp.axis)))
+            else:
+                parts.append(F.dense(
+                    params["diffusion_emb"],
+                    F.edge_diffusion(fm_emb, batch["graph_matrix"], em,
+                                     cfg.max_diffuse_t)))
         if not parts:
             raise ValueError("edge stream requested but no edge inputs")
         e = parts[0]
@@ -427,12 +440,13 @@ class EGTGraphModel:
 
         sp = None
         if sp_axis is not None:
-            self._check_sp_supported()
+            self._check_sp_supported(training)
             size = jax.lax.psum(1, sp_axis)
             index = jax.lax.axis_index(sp_axis)
             lq = batch["graph_matrix"].shape[1] if "graph_matrix" in batch \
                 else batch["feature_matrix"].shape[1]
-            sp = L.SPContext(axis=sp_axis, size=size, index=index, lq=lq)
+            sp = L.SPContext(axis=sp_axis, size=size, index=index, lq=lq,
+                             vn=cfg.num_virtual_nodes)
 
         node_mask = self.node_valid(batch)
 
@@ -440,10 +454,14 @@ class EGTGraphModel:
         # (`graph_model_base.py:59-77`)
         dist_target = None
         if cfg.distance_loss > 0:
-            dist_target = F.distance_targets(batch["graph_matrix"],
-                                             cfg.distance_target)
+            if sp is not None:
+                dist_target = F.distance_targets_sp(
+                    batch["graph_matrix"], cfg.distance_target, sp.axis)
+            else:
+                dist_target = F.distance_targets(batch["graph_matrix"],
+                                                 cfg.distance_target)
 
-        h = self._embed_nodes(params, batch, training, rng)
+        h = self._embed_nodes(params, batch, training, rng, sp)
         e = self._embed_edges(params, batch, sp) if cfg.has_edge_stream else None
 
         # hard attention mask for the 'constrained' variant
@@ -455,17 +473,21 @@ class EGTGraphModel:
         if cfg.num_virtual_nodes > 0:
             h = F.prepend_virtual_nodes(h, params["virtual_node_embeddings"])
             if e is not None:
-                e = F.prepend_virtual_edges(e,
-                                            params["virtual_edge_embeddings"])
+                if sp is not None:
+                    e = F.prepend_virtual_edges_sp(
+                        e, params["virtual_edge_embeddings"])
+                else:
+                    e = F.prepend_virtual_edges(
+                        e, params["virtual_edge_embeddings"])
             k = cfg.num_virtual_nodes
             node_mask = jnp.pad(node_mask, ((0, 0), (k, 0)),
                                 constant_values=True)
             if edge_mask is not None:
-                b, l, _ = edge_mask.shape
+                b, lrows, l = edge_mask.shape
                 em = jnp.concatenate(
                     [jnp.ones((b, k, l), edge_mask.dtype), edge_mask], axis=1)
                 edge_mask = jnp.concatenate(
-                    [jnp.ones((b, l + k, k), edge_mask.dtype), em], axis=2)
+                    [jnp.ones((b, lrows + k, k), edge_mask.dtype), em], axis=2)
 
         h = h.astype(dtype)
         if e is not None:
@@ -501,7 +523,7 @@ class EGTGraphModel:
             if upd:
                 ctx.stats_updates[("node_norm_final",)] = upd
             if cfg.edge_residual:
-                norm_edge = L.make_norm(cfg.edge_normalization)
+                norm_edge = L.make_norm(cfg.edge_normalization, sp)
                 e, upd = norm_edge(params["stack"]["edge_norm_final"], e,
                                    training)
                 if upd:
@@ -525,6 +547,8 @@ class EGTGraphModel:
                 dist_target[..., None], axis=-1)[..., 0]
             elem = elem * (dist_target > 0)
             per_sample = jnp.sum(elem.reshape(elem.shape[0], -1), axis=-1)
+            if sp is not None:
+                per_sample = jax.lax.psum(per_sample, sp.axis)
             metric = jnp.mean(per_sample)   # reference add_metric value
             ctx.metrics["distance_loss"] = metric
             ctx.losses["distance_loss"] = metric * cfg.distance_loss
@@ -559,6 +583,9 @@ class EGTGraphModel:
                 em = self.edge_valid(batch).astype(jnp.float32)[..., None]
                 es = jnp.sum(e.astype(jnp.float32) * em, axis=(1, 2))
                 ec = jnp.sum(em, axis=(1, 2))
+                if sp is not None:  # rows are disjoint shards: exact psum
+                    es = jax.lax.psum(es, sp.axis)
+                    ec = jax.lax.psum(ec, sp.axis)
                 x = jnp.concatenate([x, es / jnp.maximum(ec, 1.0)], axis=-1)
             return self._mlp_out(params, x)
         if kind == "node":
@@ -589,21 +616,18 @@ class EGTGraphModel:
 
     # ----------------------------------------------------------------------- misc
 
-    def _check_sp_supported(self):
+    def _check_sp_supported(self, training: bool):
         cfg = self.cfg
         unsupported = []
         if cfg.num_virtual_nodes > 0:
-            unsupported.append("virtual nodes")
-        if cfg.distance_loss > 0:
-            unsupported.append("distance objective")
-        if cfg.node2edge_embed:
-            unsupported.append("node2edge_embed")
-        if cfg.max_degree_enc > 0 or cfg.max_diffuse_t > 0:
-            unsupported.append("degree/diffusion encodings")
-        if cfg.readout_edges:
-            unsupported.append("readout_edges")
-        if "batch" in (cfg.node_normalization, cfg.edge_normalization):
-            unsupported.append("BatchNorm")
+            if cfg.edge_normalization == "batch":
+                # replicated VN rows would be multiply-counted in the psum'd
+                # edge-stream batch statistics
+                unsupported.append("BatchNorm edge normalization with "
+                                   "virtual nodes")
+            if training and (cfg.random_mask_prob > 0 or cfg.attn_dropout > 0):
+                unsupported.append("stochastic attention with virtual nodes "
+                                   "(replicated VN rows would diverge)")
         if unsupported:
             raise NotImplementedError(
                 "edge partitioning does not support: " + ", ".join(unsupported))

@@ -33,6 +33,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .egt import egt_attention_core, split_qkv
 from .features import dense
@@ -42,16 +43,35 @@ class SPContext(NamedTuple):
     axis: str       # mesh axis name the edge rows are sharded over
     size: int       # number of shards
     index: jax.Array  # this shard's position along the axis
-    lq: int         # local (per-shard) number of query rows
+    lq: int         # local (per-shard) number of query rows (excluding VN rows)
+    vn: int = 0     # virtual-node rows, replicated at the top of every shard
 
 
 def sp_row_slice(x, sp: SPContext, axis: int = 1):
-    """This shard's rows of a full-length tensor."""
-    return jax.lax.dynamic_slice_in_dim(x, sp.index * sp.lq, sp.lq, axis)
+    """This shard's local rows of a full-length tensor (past the VN prefix)."""
+    return jax.lax.dynamic_slice_in_dim(x, sp.vn + sp.index * sp.lq, sp.lq,
+                                        axis)
+
+
+def sp_take_rows(x, sp: SPContext, axis: int = 1):
+    """Query-side rows of a full tensor: the replicated VN prefix + this shard's
+    local rows — the row layout every per-pair tensor carries under sp."""
+    local = sp_row_slice(x, sp, axis)
+    if sp.vn == 0:
+        return local
+    vn_part = jax.lax.slice_in_dim(x, 0, sp.vn, axis=axis)
+    return jnp.concatenate([vn_part, local], axis=axis)
 
 
 def sp_gather_rows(x, sp: SPContext, axis: int = 1):
-    return jax.lax.all_gather(x, sp.axis, axis=axis, tiled=True)
+    """Assemble full rows from per-shard row blocks; a replicated VN prefix is
+    taken once (it is identical on every shard by construction)."""
+    if sp.vn == 0:
+        return jax.lax.all_gather(x, sp.axis, axis=axis, tiled=True)
+    vn_part = jax.lax.slice_in_dim(x, 0, sp.vn, axis=axis)
+    local = jax.lax.slice_in_dim(x, sp.vn, x.shape[axis], axis=axis)
+    gathered = jax.lax.all_gather(local, sp.axis, axis=axis, tiled=True)
+    return jnp.concatenate([vn_part, gathered], axis=axis)
 
 
 def fold_rng(rng, *ints):
@@ -71,13 +91,24 @@ def layer_norm(p, x, eps: float = 1e-3):
     return (y * p["gamma"] + p["beta"]).astype(x.dtype)
 
 
-def batch_norm(p, x, training: bool, eps: float = 1e-3, momentum: float = 0.99):
-    """Returns (y, moving-stat updates | None)."""
+def batch_norm(p, x, training: bool, eps: float = 1e-3, momentum: float = 0.99,
+               sp: SPContext | None = None):
+    """Returns (y, moving-stat updates | None). With `sp`, `x` is a row shard of
+    the logical tensor: batch statistics are combined exactly across shards with
+    a psum of (sum, sum-of-squares)."""
     xf = x.astype(jnp.float32)
     axes = tuple(range(xf.ndim - 1))
     if training:
-        mu = jnp.mean(xf, axis=axes)
-        var = jnp.mean(jnp.square(xf - mu), axis=axes)
+        if sp is not None:
+            n = float(np.prod(xf.shape[:-1]))
+            s = jax.lax.psum(jnp.sum(xf, axis=axes), sp.axis)
+            ss = jax.lax.psum(jnp.sum(jnp.square(xf), axis=axes), sp.axis)
+            n_total = n * sp.size
+            mu = s / n_total
+            var = ss / n_total - jnp.square(mu)
+        else:
+            mu = jnp.mean(xf, axis=axes)
+            var = jnp.mean(jnp.square(xf - mu), axis=axes)
         updates = {
             "moving_mean": momentum * p["moving_mean"] + (1 - momentum) * mu,
             "moving_var": momentum * p["moving_var"] + (1 - momentum) * var,
@@ -89,12 +120,13 @@ def batch_norm(p, x, training: bool, eps: float = 1e-3, momentum: float = 0.99):
     return y.astype(x.dtype), updates
 
 
-def make_norm(kind: str):
-    """Normalization closure returning (y, updates|None) for uniform handling."""
+def make_norm(kind: str, sp: SPContext | None = None):
+    """Normalization closure returning (y, updates|None) for uniform handling.
+    Pass `sp` for tensors that carry only a row shard (the edge stream)."""
     if kind == "layer":
         return lambda p, x, training: (layer_norm(p, x), None)
     if kind == "batch":
-        return batch_norm
+        return lambda p, x, training: batch_norm(p, x, training, sp=sp)
     raise ValueError(f"unknown normalization {kind!r}")
 
 
@@ -127,6 +159,20 @@ def dropout(x, rate: float, training: bool, rng):
     keep = 1.0 - rate
     mask = jax.random.uniform(rng, x.shape, dtype=jnp.float32) >= rate
     return jnp.where(mask, x / keep, jnp.zeros((), x.dtype))
+
+
+def sp_dropout_rows(x_rows, rate: float, training: bool, rng, sp: SPContext):
+    """Dropout on a per-shard row block: local rows draw shard-independent bits,
+    while the replicated VN prefix draws shard-SHARED bits so it stays identical
+    on every shard."""
+    if not training or rate <= 0.0:
+        return x_rows
+    if sp.vn == 0:
+        return dropout(x_rows, rate, training, fold_rng(rng, 7002, sp.index))
+    vn_part = dropout(x_rows[:, :sp.vn], rate, training, fold_rng(rng, 7001))
+    local = dropout(x_rows[:, sp.vn:], rate, training,
+                    fold_rng(rng, 7002, sp.index))
+    return jnp.concatenate([vn_part, local], axis=1)
 
 
 # ------------------------------------------------------------------ attention block
@@ -174,8 +220,12 @@ def _attention(p, cfg, h_n, e_bias_raw, gates_raw, node_mask, edge_mask,
     qkv = dense(p["dense_qkv"], h_n)
     q, k, v = split_qkv(qkv, cfg.num_heads)
     if sp is not None:
-        q = sp_row_slice(q, sp)
+        q = sp_take_rows(q, sp)
         if training and (cfg.random_mask_prob > 0 or cfg.attn_dropout > 0):
+            if sp.vn > 0:
+                raise NotImplementedError(
+                    "stochastic attention with virtual nodes under edge "
+                    "partitioning (replicated VN rows would diverge)")
             # independent stochastic draws per row shard
             kw["rng"] = fold_rng(rng, 613, sp.index)
     am = None if edge_mask is None else edge_mask[..., None]
@@ -206,10 +256,11 @@ def _mha_block(p, cfg, norm_node, h, e_bias, gates, node_mask, edge_mask,
 
     h = dense(p["dense_mha"], v_att)
     if cfg.node_dropout > 0 and training:
-        drng = fold_rng(rng, 2)
         if sp is not None:
-            drng = fold_rng(drng, sp.index)
-        h = dropout(h, cfg.node_dropout, training, drng)
+            h = sp_dropout_rows(h, cfg.node_dropout, training, fold_rng(rng, 2),
+                                sp)
+        else:
+            h = dropout(h, cfg.node_dropout, training, fold_rng(rng, 2))
     if sp is not None:
         h = sp_gather_rows(h, sp)
     h = h + y
@@ -281,10 +332,11 @@ def edge_update(p, cfg, norm_node, norm_edge, h, e, node_mask, edge_mask,
 
     e = dense(p["dense_edge_r"], h_hat)
     if cfg.edge_dropout > 0 and training:
-        drng = fold_rng(rng, 3)
         if sp is not None:
-            drng = fold_rng(drng, sp.index)
-        e = dropout(e, cfg.edge_dropout, training, drng)
+            e = sp_dropout_rows(e, cfg.edge_dropout, training, fold_rng(rng, 3),
+                                sp)
+        else:
+            e = dropout(e, cfg.edge_dropout, training, fold_rng(rng, 3))
     e = e + y_e
     if cfg.add_n_norm:
         e, upd = norm_edge(p["norm_edge"], e, training)
@@ -307,11 +359,15 @@ def _xtalk(cfg, x_h, x_e, node_mask, sp: SPContext | None):
         x_er, x_ec, x_e = jnp.split(x_e, [nx_s, 2 * nx_s], axis=3)
         m = node_mask.astype(x_h.dtype)
         if sp is not None:
-            m_rows = sp_row_slice(m, sp)                       # rows of this shard
-            x_er = jnp.sum(x_er * m_rows[:, :, None, None], axis=1)
-            x_er = jax.lax.psum(x_er, sp.axis)                 # (b, l, nx) full cols
-            x_ec = jnp.sum(x_ec * m[:, None, :, None], axis=2)  # (b, lq, nx)
-            x_ec = sp_gather_rows(x_ec, sp)                    # (b, l, nx)
+            m_rows = sp_take_rows(m, sp)                       # rows of this shard
+            weighted = x_er * m_rows[:, :, None, None]
+            # VN rows are replicated on every shard: sum them once, psum only the
+            # disjoint local-row partial sums
+            x_er = jax.lax.psum(jnp.sum(weighted[:, sp.vn:], axis=1), sp.axis)
+            if sp.vn:
+                x_er = x_er + jnp.sum(weighted[:, :sp.vn], axis=1)
+            x_ec = jnp.sum(x_ec * m[:, None, :, None], axis=2)  # (b, vn+lq, nx)
+            x_ec = sp_gather_rows(x_ec, sp)                    # (b, vn+l, nx)
         else:
             x_er = jnp.sum(x_er * m[:, :, None, None], axis=1)
             x_ec = jnp.sum(x_ec * m[:, None, :, None], axis=2)
@@ -326,7 +382,7 @@ def _xtalk(cfg, x_h, x_e, node_mask, sp: SPContext | None):
         nx_t = hn - nx_s * 2
         x_hr, x_hc, x_h = jnp.split(x_h, [nx_s, 2 * nx_s], axis=2)
         if sp is not None:
-            x_hr = sp_row_slice(x_hr, sp)
+            x_hr = sp_take_rows(x_hr, sp)
         x_e_n = x_hr[:, :, None, :] + x_hc[:, None, :, :]
 
     if x_h_n is not None:
@@ -372,10 +428,11 @@ def ffn_block(p, cfg, norm_node, norm_edge, h, e, node_mask, training, rng, sp):
             x_e = activation(act, x_e)
         x_e = dense(p["edge_ffn"]["lr2"], x_e)
         if cfg.edge_dropout > 0 and training:
-            drng = fold_rng(rng, 4)
             if sp is not None:
-                drng = fold_rng(drng, sp.index)
-            x_e = dropout(x_e, cfg.edge_dropout, training, drng)
+                x_e = sp_dropout_rows(x_e, cfg.edge_dropout, training,
+                                      fold_rng(rng, 4), sp)
+            else:
+                x_e = dropout(x_e, cfg.edge_dropout, training, fold_rng(rng, 4))
         e = x_e + y_e
         if cfg.add_n_norm:
             e, upd = norm_edge(p["edge_ffn"]["norm"], e, training)
@@ -409,7 +466,7 @@ def layer_forward(p, cfg, h, e, node_mask, edge_mask, training, rng, sp,
     rng_a = None if rng is None else fold_rng(rng, 2 * layer_idx)
     rng_f = None if rng is None else fold_rng(rng, 2 * layer_idx + 1)
     norm_node = make_norm(cfg.node_normalization)
-    norm_edge = make_norm(cfg.edge_normalization)
+    norm_edge = make_norm(cfg.edge_normalization, sp)
 
     h, e, node_repr, edge_repr, upd_a = edge_update(
         p, cfg, norm_node, norm_edge, h, e, node_mask, edge_mask,

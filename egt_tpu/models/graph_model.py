@@ -108,6 +108,7 @@ class GraphModelConfig:
     mask_value: float = -1.0
     # TPU execution knobs (no reference equivalent)
     fused_attention: bool = False         # Pallas kernel (ops/egt_pallas.py)
+    fused_edge_block: bool = False        # Pallas kernel (ops/edge_block_pallas.py)
     compute_dtype: str = "float32"        # float32 | bfloat16
     remat: bool = False                   # per-layer rematerialization
 

@@ -278,9 +278,12 @@ def _edge_bias(p, cfg, e):
 
 
 def edge_update(p, cfg, norm_node, norm_edge, h, e, node_mask, edge_mask,
-                training, rng, sp, capture, analysis, tag):
+                training, rng, sp, capture, analysis, tag,
+                defer_edge_tail: bool = False):
     """One attention sub-layer for all four edge-channel variants. Returns
-    (h, e, node_repr, edge_repr, stats_updates)."""
+    (h, e, node_repr, edge_repr, stats_updates); with `defer_edge_tail`, the
+    residual edge-channel tail is left to the fused Pallas edge block and `e`
+    comes back as the (h_hat, e_residual) pair instead."""
     updates = {}
     variant = cfg.edge_channel_type
 
@@ -329,6 +332,10 @@ def edge_update(p, cfg, norm_node, norm_edge, h, e, node_mask, edge_mask,
         p, cfg, norm_node, h, eb, gates, node_mask, edge_mask,
         training, rng, sp, capture, analysis, tag)
     updates.update(upd)
+
+    if defer_edge_tail:
+        # the fused Pallas edge block handles dense_edge_r + residual + FFN
+        return h, (h_hat, y_e), node_repr, edge_repr, updates
 
     e = dense(p["dense_edge_r"], h_hat)
     if cfg.edge_dropout > 0 and training:
@@ -392,13 +399,16 @@ def _xtalk(cfg, x_h, x_e, node_mask, sp: SPContext | None):
     return x_h, x_e
 
 
-def ffn_block(p, cfg, norm_node, norm_edge, h, e, node_mask, training, rng, sp):
+def ffn_block(p, cfg, norm_node, norm_edge, h, e, node_mask, training, rng, sp,
+              skip_edge: bool = False):
     """Dual FFN with optional cross-talk (`graph_xformer_model_base.py:309-324`).
-    Returns (h, e, stats_updates)."""
+    Returns (h, e, stats_updates). `skip_edge` when the fused edge block already
+    applied the edge-side FFN."""
     updates = {}
     xtalk_flag = cfg.node2edge_xtalk > 0.0 or cfg.edge2node_xtalk > 0.0
     act = cfg.activation
-    edge_stream = cfg.edge_channel_type in ("residual", "constrained")
+    edge_stream = (cfg.edge_channel_type in ("residual", "constrained")
+                   and not skip_edge)
 
     y_h = h
     x_h = h
@@ -468,10 +478,32 @@ def layer_forward(p, cfg, h, e, node_mask, edge_mask, training, rng, sp,
     norm_node = make_norm(cfg.node_normalization)
     norm_edge = make_norm(cfg.edge_normalization, sp)
 
+    fuse_edge = can_fuse_edge_block(cfg, training, sp, capture)
     h, e, node_repr, edge_repr, upd_a = edge_update(
         p, cfg, norm_node, norm_edge, h, e, node_mask, edge_mask,
-        training, rng_a, sp, capture, analysis, tag)
-    h, e, upd_f = ffn_block(p, cfg, norm_node, norm_edge, h, e, node_mask,
-                            training, rng_f, sp)
+        training, rng_a, sp, capture, analysis, tag,
+        defer_edge_tail=fuse_edge)
+    if fuse_edge:
+        from ..ops.edge_block_pallas import edge_block_apply
+        h_hat, y_e = e
+        e = edge_block_apply(p, h_hat, y_e)
+        h, _, upd_f = ffn_block(p, cfg, norm_node, norm_edge, h, None,
+                                node_mask, training, rng_f, sp,
+                                skip_edge=True)
+    else:
+        h, e, upd_f = ffn_block(p, cfg, norm_node, norm_edge, h, e, node_mask,
+                                training, rng_f, sp)
     updates = {**upd_a, **upd_f}
     return h, e, node_repr, edge_repr, updates, analysis
+
+
+def can_fuse_edge_block(cfg, training: bool, sp, capture: bool) -> bool:
+    """The fused Pallas edge block applies to the pre-LN LayerNorm residual edge
+    channel without dropout or cross-talk (see ops/edge_block_pallas.py)."""
+    return (getattr(cfg, "fused_edge_block", False)
+            and sp is None and not capture
+            and cfg.edge_channel_type in ("residual", "constrained")
+            and not cfg.add_n_norm
+            and cfg.edge_normalization == "layer"
+            and not (training and cfg.edge_dropout > 0)
+            and cfg.node2edge_xtalk == 0.0 and cfg.edge2node_xtalk == 0.0)

@@ -124,6 +124,7 @@ class TrainingBase:
             seed=42,
             compute_dtype="float32",     # 'float32' | 'bfloat16'
             use_pallas=False,            # fused attention kernel (ops/egt_pallas.py)
+            use_pallas_edge=False,       # fused edge block (ops/edge_block_pallas.py)
             num_devices=None,            # limit the mesh; None = all local devices
             reload_on_nan=False,         # reference `relod_on_nan` capability
             log_tensorboard=True,
@@ -178,6 +179,7 @@ class TrainingBase:
         cfg = self.get_model_config()
         cfg.max_length = self.pad_len
         cfg.fused_attention = bool(self.config.use_pallas)
+        cfg.fused_edge_block = bool(self.config.use_pallas_edge)
         cfg.compute_dtype = self.config.compute_dtype
         cfg.remat = bool(self.config.remat)
         self.model_config = cfg

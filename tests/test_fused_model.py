@@ -48,6 +48,62 @@ def test_fused_model_grads_match():
                                    rtol=5e-4, atol=5e-4)
 
 
+def test_fused_edge_block_matches():
+    """The fused dense_edge_r + residual + LN + FFN Pallas block vs unfused."""
+    rng = np.random.default_rng(3)
+    batch = random_zinc_batch(rng)
+    model_ref = EGTGraphModel(small_cfg())
+    model_fused = EGTGraphModel(small_cfg(fused_edge_block=True))
+    params = model_ref.init(jax.random.PRNGKey(0))
+    out_ref, _ = model_ref.apply(params, batch)
+    out_fused, _ = model_fused.apply(params, batch)
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fused_edge_block_grads_match():
+    rng = np.random.default_rng(4)
+    batch = random_zinc_batch(rng)
+    model_ref = EGTGraphModel(small_cfg())
+    model_fused = EGTGraphModel(small_cfg(fused_edge_block=True))
+    params = model_ref.init(jax.random.PRNGKey(0))
+
+    def loss(model, p):
+        out, _ = model.apply(p, batch)
+        return (out ** 2).sum()
+
+    g_ref = jax.grad(lambda p: loss(model_ref, p))(params)
+    g_fused = jax.grad(lambda p: loss(model_fused, p))(params)
+    flat_r, treedef = jax.tree_util.tree_flatten(g_ref)
+    flat_f, _ = jax.tree_util.tree_flatten(g_fused)
+    for a, b in zip(flat_f, flat_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-4)
+
+
+def test_fused_edge_block_with_fused_attention():
+    """Both kernels together; also checks the fallback when dropout is on."""
+    rng = np.random.default_rng(5)
+    batch = random_zinc_batch(rng)
+    model_ref = EGTGraphModel(small_cfg())
+    model_both = EGTGraphModel(small_cfg(fused_edge_block=True,
+                                         fused_attention=True))
+    params = model_ref.init(jax.random.PRNGKey(0))
+    out_ref, _ = model_ref.apply(params, batch)
+    out_both, _ = model_both.apply(params, batch)
+    np.testing.assert_allclose(np.asarray(out_both), np.asarray(out_ref),
+                               rtol=1e-4, atol=1e-4)
+
+    # edge_dropout > 0 at training time must fall back (and stay stochastic)
+    cfg = small_cfg(fused_edge_block=True, edge_dropout=0.2)
+    model_drop = EGTGraphModel(cfg)
+    o1, _ = model_drop.apply(params, batch, training=True,
+                             rng=jax.random.PRNGKey(1))
+    o2, _ = model_drop.apply(params, batch, training=True,
+                             rng=jax.random.PRNGKey(2))
+    assert not np.allclose(o1, o2)
+
+
 def test_fused_constrained_variant():
     rng = np.random.default_rng(2)
     batch = random_zinc_batch(rng)

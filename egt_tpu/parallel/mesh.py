@@ -49,15 +49,24 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
 
 
 def put_global_batch(batch: dict, mesh: Mesh) -> dict:
-    """Multi-host batch feeding: each process contributes its local shard of the
-    global batch."""
+    """Multi-host batch feeding. Every process iterates the SAME global batch
+    stream (the dataset is seeded identically), so each process slices out the
+    rows owned by its addressable devices and contributes them via
+    `jax.make_array_from_process_local_data` — the multi-host analog of the
+    reference's per-replica dataset distribution (`training_base.py:230-247`)."""
     sh = batch_sharding(mesh)
     if jax.process_count() == 1:
         return {k: jax.device_put(v, sh) for k, v in batch.items()}
-    return {
-        k: jax.make_array_from_process_local_data(sh, v)
-        for k, v in batch.items()
-    }
+
+    def make(v):
+        idx_map = sh.addressable_devices_indices_map(v.shape)
+        starts = [sl[0].start or 0 for sl in idx_map.values()]
+        stops = [v.shape[0] if sl[0].stop is None else sl[0].stop
+                 for sl in idx_map.values()]
+        return jax.make_array_from_process_local_data(
+            sh, v[min(starts):max(stops)])
+
+    return {k: make(v) for k, v in batch.items()}
 
 
 def replicate_tree(tree, mesh: Mesh):

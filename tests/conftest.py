@@ -21,6 +21,11 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running tests (multi-process spawns etc.)")
+
+
 @pytest.fixture(scope="session")
 def rng_np():
     return np.random.default_rng(0)

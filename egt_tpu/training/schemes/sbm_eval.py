@@ -62,8 +62,8 @@ def evaluate_pattern(scheme, split: str, class_sizes) -> list[str]:
     ll = weighted_log_loss(targs, probs, class_weights_from_sizes(class_sizes))
     return [
         f"Accuracy = {acc:0.5%}",
-        f"Micro Recall = {macro_rec:0.5%}",
-        f"Macro Recall = {micro_rec:0.5%}",
+        f"Micro Recall = {micro_rec:0.5%}",
+        f"Macro Recall = {macro_rec:0.5%}",
         f"Weighted Accuracy = {wacc:0.5%}",
         f"Log loss:{ll:0.5f}",
     ]

@@ -538,6 +538,22 @@ class TrainingBase:
             self.make_predictions_on_split(split)
             print(flush=True)
 
+    def export_serving(self, path: str | None = None) -> str:
+        """Export an AOT-compiled, weight-embedded inference artifact
+        (see egt_tpu/serving.py). Loads weights per `weight_file` semantics."""
+        from .. import serving
+
+        self.pred_flag = True
+        self.prepare_for_test()
+        if path is None:
+            path = join_path(self.config.save_path, "serving", "model.bin")
+        spec = serving.batch_spec(
+            self.dataset, self.pad_len,
+            self.config.batch_size * self.config.prediction_bmult)
+        out = serving.save_serving(self.model, self.params, spec, path)
+        print(f"Serving artifact exported to {out}", flush=True)
+        return out
+
     def do_evaluations_on_split(self, split: str):
         raise NotImplementedError
 

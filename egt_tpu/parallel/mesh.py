@@ -41,11 +41,11 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
     """Device-put a host batch with the leading axis sharded over 'data'.
 
-    Single-process path; multi-host feeding goes through
-    `jax.make_array_from_process_local_data` (see `put_global_batch`).
+    One device_put over the whole dict — a single batched transfer (matters a
+    lot when the chip sits behind a network tunnel). Multi-host feeding goes
+    through `jax.make_array_from_process_local_data` (see `put_global_batch`).
     """
-    sh = batch_sharding(mesh)
-    return {k: jax.device_put(v, sh) for k, v in batch.items()}
+    return jax.device_put(batch, batch_sharding(mesh))
 
 
 def put_global_batch(batch: dict, mesh: Mesh) -> dict:
@@ -56,7 +56,7 @@ def put_global_batch(batch: dict, mesh: Mesh) -> dict:
     reference's per-replica dataset distribution (`training_base.py:230-247`)."""
     sh = batch_sharding(mesh)
     if jax.process_count() == 1:
-        return {k: jax.device_put(v, sh) for k, v in batch.items()}
+        return jax.device_put(batch, sh)
 
     def make(v):
         idx_map = sh.addressable_devices_indices_map(v.shape)

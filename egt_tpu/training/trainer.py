@@ -259,7 +259,14 @@ class TrainingBase:
         rep = meshlib.replicated(self.mesh)
         bsh = meshlib.batch_sharding(self.mesh)
 
-        def train_step(params, opt_state, batch, rng, lr):
+        # Per-step host<->device round-trips are expensive (catastrophically so
+        # over a tunneled chip): the PRNG fold happens INSIDE the jitted step
+        # (the step index rides in as a host scalar), and metric (sum, count)
+        # pairs accumulate ON DEVICE in a donated buffer — one device_get per
+        # epoch instead of per step.
+
+        def train_step(params, opt_state, acc, batch, base_rng, step, lr):
+            rng = jax.random.fold_in(base_rng, step)
             (loss, (pairs, stats)), grads = jax.value_and_grad(
                 self._compute_loss, has_aux=True)(params, batch, rng, True)
             opt_state = optim.set_learning_rate(opt_state, lr)
@@ -267,20 +274,23 @@ class TrainingBase:
             params = optax.apply_updates(params, updates)
             params = _merge_stats_updates(params, stats)
             pairs = {"loss": (loss, jnp.asarray(1.0)), **pairs}
-            return params, opt_state, pairs
+            acc = jax.tree_util.tree_map(jnp.add, acc, pairs)
+            return params, opt_state, acc
 
-        def eval_step(params, batch):
+        def eval_step(params, acc, batch):
             loss, (pairs, _) = self._compute_loss(params, batch, None, False)
-            return {"loss": (loss, jnp.asarray(1.0)), **pairs}
+            pairs = {"loss": (loss, jnp.asarray(1.0)), **pairs}
+            return jax.tree_util.tree_map(jnp.add, acc, pairs)
 
         self._train_step = jax.jit(
             train_step,
-            in_shardings=(rep, rep, bsh, rep, None),
+            in_shardings=(rep, rep, rep, bsh, rep, None, None),
             out_shardings=(rep, rep, rep),
-            donate_argnums=(0, 1),
+            donate_argnums=(0, 1, 2),
         )
         self._eval_step = jax.jit(
-            eval_step, in_shardings=(rep, bsh), out_shardings=rep)
+            eval_step, in_shardings=(rep, rep, bsh), out_shardings=rep,
+            donate_argnums=(1,))
 
         def predict_step(params, batch):
             out, _ = self._forward(params, batch, None, False)
@@ -288,6 +298,25 @@ class TrainingBase:
 
         self._predict_step = jax.jit(
             predict_step, in_shardings=(rep, bsh), out_shardings=rep)
+
+    def _zero_metric_acc(self, batch, training: bool):
+        """Zero-initialized on-device (sum, count) accumulator with the metric
+        structure of this scheme (discovered via eval_shape — no execution).
+        Host zeros are cached so each epoch costs ONE device_put."""
+        key = bool(training)
+        cache = getattr(self, "_zero_acc_cache", None)
+        if cache is None:
+            cache = self._zero_acc_cache = {}
+        if key not in cache:
+            def probe(params, b):
+                rng = jax.random.PRNGKey(0) if training else None
+                loss, (pairs, _) = self._compute_loss(params, b, rng, training)
+                return {"loss": (loss, jnp.asarray(1.0)), **pairs}
+
+            shapes = jax.eval_shape(probe, self.params, batch)
+            cache[key] = jax.tree_util.tree_map(
+                lambda s: np.zeros(s.shape, s.dtype), shapes)
+        return meshlib.replicate_tree(cache[key], self.mesh)
 
     # -------------------------------------------------------------------- training
 
@@ -355,9 +384,11 @@ class TrainingBase:
         early_stop_patience = cfg.stopping_patience
         early_stop_best, early_stop_count = float("inf"), 0
 
-        base_rng = jax.random.PRNGKey(cfg.seed + 1)
+        base_rng = jax.device_put(jax.random.PRNGKey(cfg.seed + 1),
+                                  meshlib.replicated(self.mesh))
         stop = False
         epoch = state["current_epoch"]
+        dev_acc = None
         while epoch < cfg.num_epochs and not stop:
             t0 = time.time()
             acc = M.MetricAccumulator()
@@ -367,6 +398,8 @@ class TrainingBase:
                 transform=lambda b: meshlib.put_global_batch(b, self.mesh))
             for dbatch in batches:
                 step = state["global_step"]
+                if dev_acc is None:
+                    dev_acc = self._zero_metric_acc(dbatch, training=True)
                 if cfg.profile_dir:
                     if step == 10:
                         jax.profiler.start_trace(cfg.profile_dir)
@@ -383,15 +416,16 @@ class TrainingBase:
                     if stop_sched:
                         stop = True
                         break
-                rng = jax.random.fold_in(base_rng, step)
-                self.params, self.opt_state, pairs = self._train_step(
-                    self.params, self.opt_state, dbatch, rng,
-                    np.float32(state["lr"]))
-                acc.update(jax.device_get(pairs))
+                self.params, self.opt_state, dev_acc = self._train_step(
+                    self.params, self.opt_state, dev_acc, dbatch, base_rng,
+                    np.int32(step), np.float32(state["lr"]))
                 state["global_step"] = step + 1
                 n_steps += 1
                 if cfg.steps_per_epoch and n_steps >= cfg.steps_per_epoch:
                     break
+            if dev_acc is not None:
+                acc.update(jax.device_get(dev_acc))
+                dev_acc = None  # re-zeroed from the host cache next epoch
             train_logs = acc.result()
 
             if cfg.reload_on_nan and not np.isfinite(train_logs.get("loss", 0.0)):
@@ -456,10 +490,15 @@ class TrainingBase:
         batches = Prefetcher(
             self._batches(split, shuffle=False),
             transform=lambda b: meshlib.put_global_batch(b, self.mesh))
+        dev_acc = None
         for i, dbatch in enumerate(batches):
             if max_steps and i >= max_steps:
                 break
-            acc.update(jax.device_get(self._eval_step(self.params, dbatch)))
+            if dev_acc is None:
+                dev_acc = self._zero_metric_acc(dbatch, training=False)
+            dev_acc = self._eval_step(self.params, dev_acc, dbatch)
+        if dev_acc is not None:
+            acc.update(jax.device_get(dev_acc))
         return acc.result()
 
     def predict_split(self, split: str):

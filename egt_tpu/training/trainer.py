@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..data.prefetch import Prefetcher
 from ..models.graph_model import EGTGraphModel, GraphModelConfig
@@ -131,6 +132,7 @@ class TrainingBase:
             length_buckets=None,         # pad-length buckets for dynamic datasets
             remat=False,                 # per-layer rematerialization
             edge_partition=1,            # shard the NxN grid over this many chips
+            steps_per_dispatch=1,        # train steps per device dispatch (lax.scan)
             profile_dir=None,            # capture a device trace of steps 10..15
         )
         return c
@@ -299,6 +301,43 @@ class TrainingBase:
         self._predict_step = jax.jit(
             predict_step, in_shardings=(rep, bsh), out_shardings=rep)
 
+        # K steps per dispatch: one host->device transfer and one RPC per K
+        # steps (lax.scan) — amortizes dispatch/transfer latency, which
+        # dominates when the chip sits behind a network tunnel.
+        K = int(self.config.steps_per_dispatch)
+        if K > 1:
+            bsh_k = NamedSharding(self.mesh, P(None, meshlib.DATA_AXIS))
+
+            def multi_step(params, opt_state, acc, batches, base_rng, step0,
+                           lrs):
+                def body(carry, inp):
+                    params, opt_state, acc = carry
+                    batch, ki, lr = inp
+                    rng = jax.random.fold_in(base_rng, step0 + ki)
+                    (loss, (pairs, stats)), grads = jax.value_and_grad(
+                        self._compute_loss, has_aux=True)(
+                            params, batch, rng, True)
+                    opt_state = optim.set_learning_rate(opt_state, lr)
+                    updates, opt_state = self.optimizer.update(
+                        grads, opt_state, params)
+                    params = optax.apply_updates(params, updates)
+                    params = _merge_stats_updates(params, stats)
+                    pairs = {"loss": (loss, jnp.asarray(1.0)), **pairs}
+                    acc = jax.tree_util.tree_map(jnp.add, acc, pairs)
+                    return (params, opt_state, acc), None
+
+                ks = jnp.arange(K, dtype=jnp.int32)
+                (params, opt_state, acc), _ = jax.lax.scan(
+                    body, (params, opt_state, acc), (batches, ks, lrs))
+                return params, opt_state, acc
+
+            self._multi_step = jax.jit(
+                multi_step,
+                in_shardings=(rep, rep, rep, bsh_k, rep, None, None),
+                out_shardings=(rep, rep, rep),
+                donate_argnums=(0, 1, 2),
+            )
+
     def _zero_metric_acc(self, batch, training: bool):
         """Zero-initialized on-device (sum, count) accumulator with the metric
         structure of this scheme (discovered via eval_shape — no execution).
@@ -386,6 +425,32 @@ class TrainingBase:
 
         base_rng = jax.device_put(jax.random.PRNGKey(cfg.seed + 1),
                                   meshlib.replicated(self.mesh))
+        K = max(1, int(cfg.steps_per_dispatch))
+        if cfg.profile_dir:
+            K = 1  # keep the step-granular trace window meaningful
+        bsh_k = NamedSharding(self.mesh, P(None, meshlib.DATA_AXIS))
+
+        def feed(epoch):
+            """Yield ('single', device_batch) or ('multi', stacked_device_batch)
+            groups of K steps — one transfer + one dispatch per group."""
+            src = self._batches("training", shuffle=True, epoch=epoch)
+            if cfg.steps_per_epoch:
+                import itertools
+                src = itertools.islice(src, cfg.steps_per_epoch)
+            group = []
+            for b in src:
+                if K == 1:
+                    yield "single", meshlib.put_global_batch(b, self.mesh)
+                    continue
+                group.append(b)
+                if len(group) == K:
+                    stacked = {k: np.stack([g[k] for g in group])
+                               for k in group[0]}
+                    yield "multi", jax.device_put(stacked, bsh_k)
+                    group = []
+            for b in group:  # remainder runs through the single-step program
+                yield "single", meshlib.put_global_batch(b, self.mesh)
+
         stop = False
         epoch = state["current_epoch"]
         dev_acc = None
@@ -393,13 +458,12 @@ class TrainingBase:
             t0 = time.time()
             acc = M.MetricAccumulator()
             n_steps = 0
-            batches = Prefetcher(
-                self._batches("training", shuffle=True, epoch=epoch),
-                transform=lambda b: meshlib.put_global_batch(b, self.mesh))
-            for dbatch in batches:
+            for kind, dbatch in Prefetcher(feed(epoch)):
                 step = state["global_step"]
                 if dev_acc is None:
-                    dev_acc = self._zero_metric_acc(dbatch, training=True)
+                    probe = dbatch if kind == "single" else \
+                        jax.tree_util.tree_map(lambda x: x[0], dbatch)
+                    dev_acc = self._zero_metric_acc(probe, training=True)
                 if cfg.profile_dir:
                     if step == 10:
                         jax.profiler.start_trace(cfg.profile_dir)
@@ -407,22 +471,31 @@ class TrainingBase:
                         jax.profiler.stop_trace()
                         print(f"device trace written to {cfg.profile_dir}",
                               flush=True)
-                if warmup_steps > 0:
-                    lr, stop_sched = schedules.warmup_cosine_lr(
-                        step, warmup_steps=warmup_steps, max_lr=cfg.initial_lr,
-                        total_steps=total_steps)
-                    if lr is not None:
-                        state["lr"] = lr
-                    if stop_sched:
-                        stop = True
-                        break
-                self.params, self.opt_state, dev_acc = self._train_step(
-                    self.params, self.opt_state, dev_acc, dbatch, base_rng,
-                    np.int32(step), np.float32(state["lr"]))
-                state["global_step"] = step + 1
-                n_steps += 1
-                if cfg.steps_per_epoch and n_steps >= cfg.steps_per_epoch:
+                k_here = 1 if kind == "single" else K
+                lrs = []
+                for ki in range(k_here):
+                    if warmup_steps > 0:
+                        lr, stop_sched = schedules.warmup_cosine_lr(
+                            step + ki, warmup_steps=warmup_steps,
+                            max_lr=cfg.initial_lr, total_steps=total_steps)
+                        if lr is not None:
+                            state["lr"] = lr
+                        if stop_sched:
+                            stop = True
+                            break
+                    lrs.append(state["lr"])
+                if len(lrs) < k_here:  # schedule ended mid-group
                     break
+                if kind == "single":
+                    self.params, self.opt_state, dev_acc = self._train_step(
+                        self.params, self.opt_state, dev_acc, dbatch, base_rng,
+                        np.int32(step), np.float32(lrs[0]))
+                else:
+                    self.params, self.opt_state, dev_acc = self._multi_step(
+                        self.params, self.opt_state, dev_acc, dbatch, base_rng,
+                        np.int32(step), np.asarray(lrs, np.float32))
+                state["global_step"] = step + k_here
+                n_steps += k_here
             if dev_acc is not None:
                 acc.update(jax.device_get(dev_acc))
                 dev_acc = None  # re-zeroed from the host cache next epoch

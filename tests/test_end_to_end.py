@@ -92,6 +92,23 @@ def test_eval_latest_snapshot(workdir):
     assert latest.endswith(".npz") and "epoch" in latest
 
 
+def test_multi_step_dispatch_matches_single(workdir, tmp_path):
+    """steps_per_dispatch > 1 (lax.scan over K stacked batches) must reproduce
+    the K=1 trajectory exactly: same batches, same per-step PRNG folds."""
+    from egt_tpu.training.schemes import import_scheme
+
+    d = workdir
+    res = {}
+    for k in (1, 3):
+        cfg = zinc_config(d, num_epochs=2, save_path=str(tmp_path / f"k{k}"),
+                          model_name=f"k{k}", steps_per_dispatch=k,
+                          batch_size=8)
+        scheme = import_scheme(cfg["scheme"])(cfg)
+        scheme.execute_training()
+        res[k] = scheme.evaluate_split("validation")["mae"]
+    np.testing.assert_allclose(res[3], res[1], rtol=1e-6, atol=1e-7)
+
+
 def test_svd_pe_path(workdir, tmp_path):
     """Same slice with SVD positional encodings enabled."""
     from egt_tpu.training.schemes import import_scheme

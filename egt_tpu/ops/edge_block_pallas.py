@@ -33,7 +33,6 @@ FFN cross-talk.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

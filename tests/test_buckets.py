@@ -1,6 +1,5 @@
 """Length-bucketed batching tests."""
 
-import numpy as np
 
 from egt_tpu.data.dataset import GraphDataset
 from egt_tpu.data.datasets import SBM_PATTERN

@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from egt_tpu.models.graph_model import EGTGraphModel, GraphModelConfig
+from egt_tpu.models.graph_model import EGTGraphModel
 from egt_tpu.parallel import mesh as meshlib
 from egt_tpu.parallel.edge_partition import edge_partitioned_forward
 from tests.test_model_forward import random_zinc_batch, small_cfg

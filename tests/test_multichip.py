@@ -2,7 +2,6 @@
 
 import jax
 import numpy as np
-import pytest
 
 from egt_tpu.parallel.dryrun import run_one_step
 

@@ -1,7 +1,6 @@
 """Scheme coverage: every registered scheme builds, and node/edge-level task schemes
 train + evaluate end-to-end on synthetic data."""
 
-import numpy as np
 import pytest
 
 from egt_tpu.training.schemes import available_schemes, import_scheme

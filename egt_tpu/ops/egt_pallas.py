@@ -52,6 +52,14 @@ def _pick_q_block(l: int) -> int:
     return l  # no suitable divisor: fall back to one block
 
 
+
+def _prec(dtype):
+    """f32 matmuls must be exact (the backward pass recomputes the clip gate from
+    raw logits), so pin HIGHEST; bf16 inputs are single-pass exact on the MXU and
+    Mosaic rejects an fp32 contract precision for them."""
+    return (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -120,18 +128,18 @@ def _fwd_kernel(seed_ref, *refs, gated, has_full_mask, clip_lo, clip_hi,
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST) * scale
+        precision=_prec(q.dtype)) * scale
     if clip_lo is not None:
         logits = jnp.clip(logits, clip_lo, clip_hi)
-    h_hat = logits + e
-    hhat_ref[0, 0] = h_hat
+    h_hat = logits + e.astype(jnp.float32)
+    hhat_ref[0, 0] = h_hat.astype(hhat_ref.dtype)
 
     madd = madd_ref[0]                       # (1, l) -> broadcast over queries
     lm = h_hat + madd
     if has_full_mask:
         lm = lm + maddf_ref[0]
     if gated:
-        gm = g_ref[0, 0] + madd
+        gm = g_ref[0, 0].astype(jnp.float32) + madd
         if has_full_mask:
             gm = gm + maddf_ref[0]
 
@@ -155,8 +163,9 @@ def _fwd_kernel(seed_ref, *refs, gated, has_full_mask, clip_lo, clip_hi,
         keep = 1.0 - attn_dropout
         a = jnp.where(u2 >= attn_dropout, a / keep, 0.0)
 
-    vout_ref[0, 0] = jnp.dot(a, v, preferred_element_type=jnp.float32,
-                             precision=jax.lax.Precision.HIGHEST)
+    vout_ref[0, 0] = jnp.dot(a.astype(v.dtype), v,
+                             preferred_element_type=jnp.float32,
+                             precision=_prec(v.dtype)).astype(vout_ref.dtype)
 
 
 # ------------------------------------------------------------------------ backward
@@ -187,14 +196,14 @@ def _bwd_kernel(seed_ref, *refs, gated, has_full_mask, clip_lo, clip_hi,
     q = q_ref[0, 0]
     k = k_ref[0, 0]
     v = v_ref[0, 0]
-    h_hat = hhat_ref[0, 0]
+    h_hat = hhat_ref[0, 0].astype(jnp.float32)
     madd = madd_ref[0]
 
     lm = h_hat + madd
     if has_full_mask:
         lm = lm + maddf_ref[0]
     if gated:
-        gm = g_ref[0, 0] + madd
+        gm = g_ref[0, 0].astype(jnp.float32) + madd
         if has_full_mask:
             gm = gm + maddf_ref[0]
 
@@ -223,46 +232,48 @@ def _bwd_kernel(seed_ref, *refs, gated, has_full_mask, clip_lo, clip_hi,
         a_d = a
 
     gv = gv_ref[0, 0]
-    gh = gh_ref[0, 0]
+    gh = gh_ref[0, 0].astype(jnp.float32)
 
     dA_d = jax.lax.dot_general(gv, v, (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)  # (qb, l)
+                               precision=_prec(v.dtype))  # (qb, l)
     dA = dA_d * dmask if dmask is not None else dA_d
 
     if gated:
         dS = dA * sg
         dsg = dA * s + gdeg_ref[0, 0].reshape(-1)[:, None]
         dG = dsg * sg * (1.0 - sg)
-        dg_ref[0, 0] = dG
+        dg_ref[0, 0] = dG.astype(dg_ref.dtype)
     else:
         dS = dA
 
     dL = s * (dS - jnp.sum(dS * s, axis=-1, keepdims=True))
     dH = dL + gh
-    de_ref[0, 0] = dH
+    de_ref[0, 0] = dH.astype(de_ref.dtype)
 
     # clip gradient: recompute raw scaled logits, gate where inside [lo, hi]
     raw = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST) * scale
+                              precision=_prec(q.dtype)) * scale
     if clip_lo is not None:
         inside = jnp.logical_and(raw >= clip_lo, raw <= clip_hi)
         draw = jnp.where(inside, dH, 0.0)
     else:
         draw = dH
 
-    dq_ref[0, 0] = jnp.dot(draw, k, preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST) * scale
+    draw_dt = draw.astype(k.dtype)
+    dq_ref[0, 0] = (jnp.dot(draw_dt, k, preferred_element_type=jnp.float32,
+                            precision=_prec(k.dtype))
+                    * scale).astype(dq_ref.dtype)
 
     dk_part = jax.lax.dot_general(
-        draw, q, (((0,), (0,)), ((), ())),
+        draw_dt, q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST) * scale
+        precision=_prec(q.dtype)) * scale
     dv_part = jax.lax.dot_general(
-        a_d, gv, (((0,), (0,)), ((), ())),
+        a_d.astype(gv.dtype), gv, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+        precision=_prec(gv.dtype))
 
     # q-blocks are the innermost grid axis: the (i, j, 0, 0)-mapped dk/dv blocks
     # stay resident in VMEM across blocks, so accumulate in place
@@ -333,9 +344,10 @@ def _egt_core_fwd(q, k, v, e, g, masks, seed, clip, random_mask_prob,
         in_specs.append(maddf_spec)
         inputs.append(maddf)
 
+    dt = q.dtype
     out_shape = [
-        jax.ShapeDtypeStruct((b, h, l, d), jnp.float32),
-        jax.ShapeDtypeStruct((b, h, l, l), jnp.float32),
+        jax.ShapeDtypeStruct((b, h, l, d), dt),
+        jax.ShapeDtypeStruct((b, h, l, l), dt),
     ]
     out_specs = [q_blk, ql_blk]
     if gated:
@@ -401,15 +413,16 @@ def _egt_core_bwd_impl(clip, random_mask_prob, attn_dropout, training, gated,
         in_specs.append(deg_spec)
         inputs.append(gdeg)
 
+    dt = q.dtype
     out_shape = [
-        jax.ShapeDtypeStruct((b, h, l, d), jnp.float32),  # dq
-        jax.ShapeDtypeStruct((b, h, l, d), jnp.float32),  # dk
-        jax.ShapeDtypeStruct((b, h, l, d), jnp.float32),  # dv
-        jax.ShapeDtypeStruct((b, h, l, l), jnp.float32),  # de
+        jax.ShapeDtypeStruct((b, h, l, d), dt),           # dq
+        jax.ShapeDtypeStruct((b, h, l, d), jnp.float32),  # dk (f32 accumulator)
+        jax.ShapeDtypeStruct((b, h, l, d), jnp.float32),  # dv (f32 accumulator)
+        jax.ShapeDtypeStruct((b, h, l, l), dt),           # de
     ]
     out_specs = [q_blk, kv_acc, kv_acc, ql_blk]
     if gated:
-        out_shape.append(jax.ShapeDtypeStruct((b, h, l, l), jnp.float32))
+        out_shape.append(jax.ShapeDtypeStruct((b, h, l, l), dt))
         out_specs.append(ql_blk)
 
     kernel = functools.partial(
@@ -435,6 +448,8 @@ def _egt_core_bwd_impl(clip, random_mask_prob, attn_dropout, training, gated,
     else:
         dq, dk, dv, de = outs
         dg = None
+    dk = dk.astype(dt)  # cotangents must match the primal dtype
+    dv = dv.astype(dt)
     # grads for (q, k, v, e, g, masks, seed) — masks/seed are non-differentiable
     import numpy as np
     dmadd = jnp.zeros_like(madd)
@@ -499,9 +514,9 @@ def egt_attention_fused(
         seed = jnp.zeros((1,), jnp.int32)
 
     clip = tuple(clip_logits_value) if clip_logits_value is not None else None
-    out = _egt_core(q.astype(jnp.float32), k.astype(jnp.float32),
-                    v.astype(jnp.float32), e_bias.astype(jnp.float32),
-                    gates.astype(jnp.float32) if gated else None,
+    dt = q.dtype
+    out = _egt_core(q, k.astype(dt), v.astype(dt), e_bias.astype(dt),
+                    gates.astype(dt) if gated else None,
                     (madd, maddf), seed,
                     clip, float(random_mask_prob), float(attn_dropout),
                     bool(training), gated)
@@ -514,7 +529,7 @@ def egt_attention_fused(
             non_vn = scalers[:, :, num_virtual_nodes:]
             scalers = jnp.pad(non_vn, ((0, 0), (0, 0), (num_virtual_nodes, 0)),
                               constant_values=1.0)
-        v_att = v_att * scalers[..., None]
+        v_att = v_att * scalers[..., None].astype(v_att.dtype)
 
     # (b, h, l, d) -> (b, l, d, h) -> (b, l, d*h): matches the reference's
     # [d, h]-ordered head flattening (`egt_layers.py:139-141`).

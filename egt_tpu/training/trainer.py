@@ -650,6 +650,32 @@ class TrainingBase:
             self.make_predictions_on_split(split)
             print(flush=True)
 
+    def do_analysis(self, split: str = "test", max_batches: int = 1) -> str:
+        """Dump per-layer attention logits / matrices / gates for a split —
+        the CLI face of the reference's "analysis model"
+        (`lib/models/analysis.py` + `get_analysis_model`,
+        `graph_xformer_model_base.py:492-506`). Writes
+        predictions/<split>_analysis.npz with keys like 'mha_00/mat'."""
+        self.pred_flag = True
+        self.prepare_for_test()
+        os.makedirs(self.config.predictions_path, exist_ok=True)
+        dumps: dict[str, list] = {}
+        for i, batch in enumerate(self._batches(split, shuffle=False)):
+            if i >= max_batches:
+                break
+            analysis = self.model.analyze(jax.device_get(self.params), batch)
+            for k, v in analysis.items():
+                if isinstance(v, (list, tuple)):
+                    continue  # combine_layer_repr lists: not batchable here
+                dumps.setdefault(k, []).append(np.asarray(v))
+        name = {"training": "trainset", "validation": "valset",
+                "test": "testset"}.get(split, split)
+        path = join_path(self.config.predictions_path, f"{name}_analysis.npz")
+        np.savez(path, **{k.replace("/", "."): np.concatenate(v)
+                          for k, v in dumps.items()})
+        print(f"saved analysis tensors to {path}", flush=True)
+        return path
+
     def export_serving(self, path: str | None = None) -> str:
         """Export an AOT-compiled, weight-embedded inference artifact
         (see egt_tpu/serving.py). Loads weights per `weight_file` semantics."""

@@ -115,6 +115,12 @@ class GraphModelConfig:
     def __post_init__(self):
         if self.scale_degree and not self.gate_attention:
             raise ValueError("scale_degree only works with gate_attention")
+        if self.scale_degree and self.edge_channel_type == "none":
+            # 'none' forces ungated attention (`graph_xformer_model_base.py:
+            # 164-169`), which the reference's EGT layer rejects with
+            # scale_degree at build time (`egt_layers.py:20-21`)
+            raise ValueError("scale_degree requires an edge channel "
+                             "(edge_channel_type != 'none')")
         if self.edge_channel_type not in ("residual", "bias", "constrained",
                                           "none"):
             raise ValueError(f"unknown edge_channel_type "
@@ -125,6 +131,16 @@ class GraphModelConfig:
     @property
     def has_edge_stream(self) -> bool:
         return self.edge_channel_type != "none"
+
+    @property
+    def needs_edge_embedding(self) -> bool:
+        """The reference always builds the edge embedding; here it is skipped
+        only when nothing consumes it (pure compute saving). With
+        edge_channel_type='none' the stack passes e through UNCHANGED, so the
+        distance head / edge readouts see the raw embedding — reference
+        behavior (`graph_xformer_model_base.py:164-171`)."""
+        return (self.has_edge_stream or self.distance_loss > 0
+                or self.readout_kind == "edge" or self.readout_edges)
 
     @property
     def edge_residual(self) -> bool:
@@ -192,8 +208,10 @@ class EGTGraphModel:
             # the reference uses a 'uniform' kernel here (`graph_model_base.py:172-174`)
             params["degree_emb"] = F.dense_params_uniform(next(keys), din, w)
 
-        # edge embeddings (the edge stream feeds gates/bias even in 'bias' mode)
-        if cfg.has_edge_stream:
+        # edge embeddings (the edge stream feeds gates/bias even in 'bias' mode;
+        # 'none' still needs them when the distance head or an edge readout
+        # consumes the pass-through channel)
+        if cfg.needs_edge_embedding:
             if cfg.edge_input_kind == "tokens":
                 if cfg.edge_vocab_sizes is not None:
                     vocab = int(sum(cfg.edge_vocab_sizes)) + 1
@@ -220,7 +238,7 @@ class EGTGraphModel:
         if cfg.num_virtual_nodes > 0:
             params["virtual_node_embeddings"] = F.uniform_05(
                 next(keys), (cfg.num_virtual_nodes, w))
-            if cfg.has_edge_stream:
+            if cfg.needs_edge_embedding:
                 params["virtual_edge_embeddings"] = F.uniform_05(
                     next(keys), (cfg.num_virtual_nodes, ew))
 
@@ -463,7 +481,8 @@ class EGTGraphModel:
                                                  cfg.distance_target)
 
         h = self._embed_nodes(params, batch, training, rng, sp)
-        e = self._embed_edges(params, batch, sp) if cfg.has_edge_stream else None
+        e = self._embed_edges(params, batch, sp) \
+            if cfg.needs_edge_embedding else None
 
         # hard attention mask for the 'constrained' variant
         # (`graph_model_base.py:131-142`) — (b, l_q, l), head-shared
@@ -589,15 +608,19 @@ class EGTGraphModel:
                     ec = jax.lax.psum(ec, sp.axis)
                 x = jnp.concatenate([x, es / jnp.maximum(ec, 1.0)], axis=-1)
             return self._mlp_out(params, x)
+        k = cfg.num_virtual_nodes
         if kind == "node":
             out = self._mlp_out(params, h)
             if sp is not None:
-                out = L.sp_row_slice(out, sp)
+                out = L.sp_row_slice(out, sp)  # slice offsets past VN rows
+            elif k > 0:
+                out = out[:, k:]  # per-node readout excludes the VN aggregators
             return out
         if kind == "edge":
             if cfg.use_node_embeddings:
-                row = L.sp_row_slice(h, sp) if sp is not None else h
-                he = F.pairwise_cat(row, h)
+                hc = h[:, k:] if k > 0 else h  # e is VN-cropped; match it
+                row = L.sp_row_slice(h, sp) if sp is not None else hc
+                he = F.pairwise_cat(row, hc)
                 x = jnp.concatenate([he, e.astype(he.dtype)], axis=-1)
             else:
                 x = e

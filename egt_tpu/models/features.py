@@ -61,9 +61,21 @@ def dense(p, x):
 # ----------------------------------------------------------------------- embeddings
 
 
+# Below this vocab size, embedding lookups go through a one-hot matmul: the
+# table GRADIENT then becomes a GEMM instead of a scatter-add — profiling showed
+# the b*l*l-index scatter into the tiny edge-feature table dominating the train
+# step (~40% of device time at the ZINC bench shape).
+_ONEHOT_VOCAB_MAX = 64
+
+
 def token_embed(p, ids):
     """-1-masked token lookup: table[ids + 1] (`masking.py:35-43`)."""
-    return jnp.take(p["table"], ids.astype(jnp.int32) + 1, axis=0)
+    table = p["table"]
+    idx = ids.astype(jnp.int32) + 1
+    if table.shape[0] <= _ONEHOT_VOCAB_MAX:
+        oh = jax.nn.one_hot(idx, table.shape[0], dtype=table.dtype)
+        return oh @ table
+    return jnp.take(table, idx, axis=0)
 
 
 def multi_token_embed(p, ids, vocab_sizes):
@@ -76,7 +88,11 @@ def multi_token_embed(p, ids, vocab_sizes):
     # gate the lookup on the node-validity of column 0 instead:
     valid = (ids[..., :1] >= 0)
     idx = jnp.where(valid, idx, 0)
-    emb = jnp.take(p["table"], idx, axis=0)                 # (..., C, dim)
+    table = p["table"]
+    if table.shape[0] <= _ONEHOT_VOCAB_MAX:
+        oh = jax.nn.one_hot(idx, table.shape[0], dtype=table.dtype)
+        return jnp.einsum("...cv,vd->...d", oh, table)
+    emb = jnp.take(table, idx, axis=0)                      # (..., C, dim)
     return emb.sum(axis=-2)
 
 

@@ -372,4 +372,44 @@ class GraphDataset:
         elif self.pe == "eig":
             batch["eigen_vectors"] = pe_out
         batch["target"] = tgt
-        return batch
+        return self._compress(batch)
+
+    def _compress(self, batch: dict) -> dict:
+        """Losslessly narrow the wire dtypes of the big per-pair fields: the
+        adjacency is small-integer-valued (0/1 edges + self-loops) and token ids
+        fit int8 for these vocabularies, so host->device transfers shrink ~4x on
+        the dominant (b, L, L) tensors; the model/engine upcast on device."""
+        spec = self.spec
+        out = dict(batch)
+        out["graph_matrix"] = batch["graph_matrix"].astype(np.uint8)
+        if spec.node_feat_kind == "int" and spec.node_feat_dim is None \
+                and self._int8_ok("node"):
+            out["node_features"] = batch["node_features"].astype(np.int8)
+        if spec.edge_feat_kind == "int" and spec.edge_feat_dim is None \
+                and self._int8_ok("edge"):
+            out["feature_matrix"] = batch["feature_matrix"].astype(np.int8)
+        if spec.target_kind == "edge_matrix":
+            out["target"] = batch["target"].astype(np.int8)
+        return out
+
+    def _int8_ok(self, which: str) -> bool:
+        mx = self._token_max(which)
+        return mx is not None and mx < 127
+
+    def _token_max(self, which: str):
+        cache = getattr(self, "_token_max_cache", None)
+        if cache is None:
+            cache = self._token_max_cache = {}
+        if which not in cache:
+            key = "node_features_flat" if which == "node" \
+                else "edge_features_flat"
+            mx = 0
+            for s in self.splits:
+                data = self.ensure_cache(s)
+                if key not in data:
+                    cache[which] = None
+                    return None
+                if len(data[key]):
+                    mx = max(mx, int(data[key].max()))
+            cache[which] = mx
+        return cache[which]

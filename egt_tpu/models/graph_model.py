@@ -457,6 +457,13 @@ class EGTGraphModel:
         ctx = ModelContext()
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
+        # the dataset ships the adjacency in a narrow integer wire dtype
+        # (`data/dataset.py::_compress`); upcast once on device
+        if "graph_matrix" in batch and \
+                not jnp.issubdtype(batch["graph_matrix"].dtype, jnp.floating):
+            batch = dict(batch)
+            batch["graph_matrix"] = batch["graph_matrix"].astype(jnp.float32)
+
         sp = None
         if sp_axis is not None:
             self._check_sp_supported(training)

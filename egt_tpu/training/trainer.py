@@ -241,8 +241,11 @@ class TrainingBase:
         # embedding, f32 islands for norms/softmax, f32 output).
         out, ctx = self._forward(params, batch, rng, training)
         mask = self.model.output_mask(batch)
+        target = batch["target"]
+        if jnp.issubdtype(target.dtype, jnp.integer):
+            target = target.astype(jnp.int32)  # int8 wire dtype -> index dtype
         loss, metric_pairs = self.loss_and_metrics(
-            out, batch["target"], mask, batch.get("sample_mask"))
+            out, target, mask, batch.get("sample_mask"))
         total = loss
         if ctx is not None:
             for v in ctx.losses.values():

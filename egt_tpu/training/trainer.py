@@ -213,16 +213,30 @@ class TrainingBase:
         self._build_steps()
 
     def model_summary(self):
+        """Architecture summary written to summary.txt (the reference writes the
+        Keras `model.summary()` there, `training_base.py:220-224`)."""
         path = Path(self.config.summary_path)
         path.parent.mkdir(parents=True, exist_ok=True)
         lines = [f"model: {self.config.model_name}",
-                 f"total params: {_count_params(self.params)}"]
+                 f"total params: {_count_params(self.params):,}", ""]
+        rows = []
+        for kp, leaf in jax.tree_util.tree_flatten_with_path(self.params)[0]:
+            name = "/".join(str(getattr(p, "key", getattr(p, "idx", p)))
+                            for p in kp)
+            rows.append((name, tuple(np.shape(leaf))))
+        width = max(len(n) for n, _ in rows) + 2
+        for name, shape in rows:
+            n = int(np.prod(shape)) if shape else 1
+            lines.append(f"{name:<{width}}{str(shape):<20}{n:>10,}")
+        lines += ["", "per-subtree totals:"]
         for top, sub in self.params.items():
-            lines.append(f"  {top}: {_count_params(sub)}")
+            lines.append(f"  {top}: {_count_params(sub):,}")
         text = "\n".join(lines)
         with open(str(path) + ".txt", "w") as fp:
             fp.write(text + "\n")
-        print(text, flush=True)
+        print(f"model: {self.config.model_name}  "
+              f"params: {_count_params(self.params):,} "
+              f"(full summary: {path}.txt)", flush=True)
 
     # ---------------------------------------------------------------- step builders
 

@@ -311,6 +311,23 @@ class TrainingBase:
             eval_step, in_shardings=(rep, rep, bsh), out_shardings=rep,
             donate_argnums=(1,))
 
+        if int(self.config.steps_per_dispatch) > 1:
+            bsh_k_eval = NamedSharding(self.mesh, P(None, meshlib.DATA_AXIS))
+
+            def multi_eval_step(params, acc, batches):
+                def body(acc, batch):
+                    loss, (pairs, _) = self._compute_loss(params, batch, None,
+                                                          False)
+                    pairs = {"loss": (loss, jnp.asarray(1.0)), **pairs}
+                    return jax.tree_util.tree_map(jnp.add, acc, pairs), None
+
+                acc, _ = jax.lax.scan(body, acc, batches)
+                return acc
+
+            self._multi_eval_step = jax.jit(
+                multi_eval_step, in_shardings=(rep, rep, bsh_k_eval),
+                out_shardings=rep, donate_argnums=(1,))
+
         def predict_step(params, batch):
             out, _ = self._forward(params, batch, None, False)
             return out
@@ -577,16 +594,38 @@ class TrainingBase:
 
     def evaluate_split(self, split: str, max_steps=None) -> dict:
         acc = M.MetricAccumulator()
-        batches = Prefetcher(
-            self._batches(split, shuffle=False),
-            transform=lambda b: meshlib.put_global_batch(b, self.mesh))
+        K = max(1, int(self.config.steps_per_dispatch))
+        bsh_k = NamedSharding(self.mesh, P(None, meshlib.DATA_AXIS))
+
+        def feed():
+            src = self._batches(split, shuffle=False)
+            if max_steps:
+                import itertools
+                src = itertools.islice(src, max_steps)
+            group = []
+            for b in src:
+                if K == 1:
+                    yield "single", meshlib.put_global_batch(b, self.mesh)
+                    continue
+                group.append(b)
+                if len(group) == K:
+                    stacked = {k: np.stack([g[k] for g in group])
+                               for k in group[0]}
+                    yield "multi", jax.device_put(stacked, bsh_k)
+                    group = []
+            for b in group:
+                yield "single", meshlib.put_global_batch(b, self.mesh)
+
         dev_acc = None
-        for i, dbatch in enumerate(batches):
-            if max_steps and i >= max_steps:
-                break
+        for kind, dbatch in Prefetcher(feed()):
             if dev_acc is None:
-                dev_acc = self._zero_metric_acc(dbatch, training=False)
-            dev_acc = self._eval_step(self.params, dev_acc, dbatch)
+                probe = dbatch if kind == "single" else \
+                    jax.tree_util.tree_map(lambda x: x[0], dbatch)
+                dev_acc = self._zero_metric_acc(probe, training=False)
+            if kind == "single":
+                dev_acc = self._eval_step(self.params, dev_acc, dbatch)
+            else:
+                dev_acc = self._multi_eval_step(self.params, dev_acc, dbatch)
         if dev_acc is not None:
             acc.update(jax.device_get(dev_acc))
         return acc.result()

@@ -466,24 +466,33 @@ class TrainingBase:
 
         def feed(epoch):
             """Yield ('single', device_batch) or ('multi', stacked_device_batch)
-            groups of K steps — one transfer + one dispatch per group."""
+            groups of K steps — one transfer + one dispatch per group. Only
+            same-shape batches group together (length buckets vary shapes)."""
             src = self._batches("training", shuffle=True, epoch=epoch)
             if cfg.steps_per_epoch:
                 import itertools
                 src = itertools.islice(src, cfg.steps_per_epoch)
-            group = []
+            group, gshape = [], None
+            def flush_single(items):
+                for b in items:
+                    yield "single", meshlib.put_global_batch(b, self.mesh)
             for b in src:
                 if K == 1:
                     yield "single", meshlib.put_global_batch(b, self.mesh)
                     continue
+                bshape = tuple(sorted((k, v.shape) for k, v in b.items()))
+                if group and bshape != gshape:
+                    yield from flush_single(group)
+                    group = []
                 group.append(b)
+                gshape = bshape
                 if len(group) == K:
                     stacked = {k: np.stack([g[k] for g in group])
                                for k in group[0]}
                     yield "multi", jax.device_put(stacked, bsh_k)
                     group = []
-            for b in group:  # remainder runs through the single-step program
-                yield "single", meshlib.put_global_batch(b, self.mesh)
+            # remainder runs through the single-step program
+            yield from flush_single(group)
 
         stop = False
         epoch = state["current_epoch"]
@@ -602,12 +611,18 @@ class TrainingBase:
             if max_steps:
                 import itertools
                 src = itertools.islice(src, max_steps)
-            group = []
+            group, gshape = [], None
             for b in src:
                 if K == 1:
                     yield "single", meshlib.put_global_batch(b, self.mesh)
                     continue
+                bshape = tuple(sorted((k, v.shape) for k, v in b.items()))
+                if group and bshape != gshape:
+                    for g in group:
+                        yield "single", meshlib.put_global_batch(g, self.mesh)
+                    group = []
                 group.append(b)
+                gshape = bshape
                 if len(group) == K:
                     stacked = {k: np.stack([g[k] for g in group])
                                for k in group[0]}

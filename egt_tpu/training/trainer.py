@@ -124,7 +124,7 @@ class TrainingBase:
             # --- TPU-native extensions (not in the reference config surface)
             seed=42,
             compute_dtype="float32",     # 'float32' | 'bfloat16'
-            use_pallas=False,            # fused attention kernel (ops/egt_pallas.py)
+            use_pallas=False,            # fused attention kernel; True|False|"auto"
             use_pallas_edge=False,       # fused edge block (ops/edge_block_pallas.py)
             num_devices=None,            # limit the mesh; None = all local devices
             reload_on_nan=False,         # reference `relod_on_nan` capability
@@ -180,7 +180,13 @@ class TrainingBase:
     def load_model(self):
         cfg = self.get_model_config()
         cfg.max_length = self.pad_len
-        cfg.fused_attention = bool(self.config.use_pallas)
+        up = self.config.use_pallas
+        if up == "auto":
+            # measured crossover: the fused kernel wins for large graphs
+            # (l >= ~256, e.g. TSP); the XLA einsum path wins at molecular scale
+            cfg.fused_attention = self.pad_len >= 256
+        else:
+            cfg.fused_attention = bool(up)
         cfg.fused_edge_block = bool(self.config.use_pallas_edge)
         cfg.compute_dtype = self.config.compute_dtype
         cfg.remat = bool(self.config.remat)

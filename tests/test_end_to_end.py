@@ -92,6 +92,21 @@ def test_eval_latest_snapshot(workdir):
     assert latest.endswith(".npz") and "epoch" in latest
 
 
+def test_use_pallas_auto(workdir, tmp_path):
+    """'auto' enables the fused attention kernel only where it wins (l >= 256)."""
+    from egt_tpu.training.schemes import import_scheme
+
+    cfg = zinc_config(workdir, use_pallas="auto", model_name="auto",
+                      save_path=str(tmp_path / "auto"))
+    scheme = import_scheme(cfg["scheme"])(cfg)
+    scheme.load_data()
+    scheme.load_model()
+    assert scheme.model_config.fused_attention is False  # ZINC pads to 40
+    scheme.pad_len = 512
+    scheme.load_model()
+    assert scheme.model_config.fused_attention is True
+
+
 def test_multi_step_dispatch_matches_single(workdir, tmp_path):
     """steps_per_dispatch > 1 (lax.scan over K stacked batches) must reproduce
     the K=1 trajectory exactly: same batches, same per-step PRNG folds."""

@@ -129,6 +129,7 @@ class TrainingBase:
             num_devices=None,            # limit the mesh; None = all local devices
             reload_on_nan=False,         # reference `relod_on_nan` capability
             log_tensorboard=True,
+            log_interval=60,             # seconds between in-epoch progress lines
             length_buckets=None,         # pad-length buckets for dynamic datasets
             remat=False,                 # per-layer rematerialization
             edge_partition=1,            # shard the NxN grid over this many chips
@@ -503,8 +504,10 @@ class TrainingBase:
         stop = False
         epoch = state["current_epoch"]
         dev_acc = None
+        log_interval = float(getattr(cfg, "log_interval", 60) or 0)
         while epoch < cfg.num_epochs and not stop:
             t0 = time.time()
+            last_log = t0
             acc = M.MetricAccumulator()
             n_steps = 0
             for kind, dbatch in Prefetcher(feed(epoch)):
@@ -545,6 +548,12 @@ class TrainingBase:
                         np.int32(step), np.asarray(lrs, np.float32))
                 state["global_step"] = step + k_here
                 n_steps += k_here
+                now = time.time()
+                if log_interval and now - last_log >= log_interval:
+                    rate = n_steps * cfg.batch_size / (now - t0)
+                    print(f"  epoch {epoch + 1}: step {n_steps} "
+                          f"({rate:.0f} graphs/s)", flush=True)
+                    last_log = now
             if dev_acc is not None:
                 acc.update(jax.device_get(dev_acc))
                 dev_acc = None  # re-zeroed from the host cache next epoch

@@ -5,7 +5,7 @@ adam / rmsprop / sgd with optional element-wise gradient value clipping and a
 dynamically adjustable learning rate (host-driven schedules write it into the
 optimizer hyperparams each step).
 
-Batch-norm moving statistics live inside the params tree (see `models/nn.py`); they are
+Batch-norm moving statistics live inside the params tree (see `models/layers.py`); they are
 masked out of the optimizer and updated directly from the forward pass.
 """
 

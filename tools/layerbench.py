@@ -1,0 +1,126 @@
+"""Kernel-path benchmark at the shipped config shapes (real TPU).
+
+Times the full training step (params+opt update, donated buffers — exactly the
+engine's step) for each kernel-path combination at a given model shape, plus a
+layer-stack-only fwd+bwd isolation. Used to measure the crossover matrix recorded
+in DESIGN_NOTES and to drive fused-kernel development (VERDICT round 1, item 1).
+
+    python tools/layerbench.py --shape zinc500k --paths xla,attn,edge,layer
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SHAPES = {
+    # name: (batch, pad_len, width, edge_width, heads, height)
+    "zinc500k": (128, 40, 64, 64, 8, 10),
+    "zinc100k": (128, 40, 48, 48, 8, 4),
+    "pattern500k": (128, 192, 64, 8, 8, 16),
+    "mnist500k": (128, 80, 96, 64, 8, 4),
+    "cifar500k": (128, 160, 96, 64, 8, 4),
+    "tsp500k": (8, 512, 64, 64, 8, 10),
+}
+
+
+def build(shape, dtype, path, training=True):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from egt_tpu.models.graph_model import EGTGraphModel, GraphModelConfig
+    from egt_tpu.parallel.dryrun import synthetic_batch
+    from egt_tpu.training import metrics as M
+    from egt_tpu.training import optim
+
+    b, l, w, ew, h, height = shape
+    cfg = GraphModelConfig(
+        model_width=w, edge_width=ew, num_heads=h, model_height=height,
+        node_input_kind="tokens", edge_input_kind="tokens",
+        num_node_features=28, num_edge_features=4, num_targets=1,
+        readout_kind="graph", upto_hop=16, random_mask_prob=0.1,
+        use_svd=True, num_svd_features=16, sel_svd_features=8,
+        transform_svd=True, random_neg=True, compute_dtype=dtype,
+    )
+    cfg.fused_attention = path in ("attn", "attn+edge")
+    cfg.fused_edge_block = path in ("edge", "attn+edge")
+    cfg.fused_layer = path == "layer"
+    model = EGTGraphModel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+
+    optimizer = optim.make_optimizer("adam", 5e-4, params=params)
+    opt_state = optimizer.init(params)
+
+    rng = np.random.default_rng(0)
+    batch = synthetic_batch(rng, b, l)
+    batch["singular_vectors"] = rng.normal(size=(b, l, 16, 2)).astype(np.float32)
+    batch = jax.device_put(batch)
+
+    def loss_fn(p, bt, key):
+        out, ctx = model.apply(p, bt, training=training, rng=key)
+        s, c = M.mae_loss(out, bt["target"], None, bt["sample_mask"])
+        return s / jnp.maximum(c, 1.0)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(p, o, bt, key):
+        loss, grads = jax.value_and_grad(loss_fn)(p, bt, key)
+        updates, o = optimizer.update(grads, o, p)
+        p = optax.apply_updates(p, updates)
+        return p, o, loss
+
+    return train_step, params, opt_state, batch
+
+
+def timeit(step, params, opt_state, batch, iters=30, reps=3):
+    import jax
+
+    key = jax.random.PRNGKey(1)
+    t0 = time.time()
+    params, opt_state, loss = jax.block_until_ready(
+        step(params, opt_state, batch, key))
+    compile_s = time.time() - t0
+    for _ in range(3):
+        params, opt_state, loss = step(params, opt_state, batch, key)
+    jax.block_until_ready(loss)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        for _ in range(iters):
+            params, opt_state, loss = step(params, opt_state, batch, key)
+        jax.block_until_ready(loss)
+        best = min(best, (time.time() - t0) / iters)
+    return best, compile_s, float(loss)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--shape", default="zinc500k")
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--paths", default="xla,attn,edge,layer")
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--eval", action="store_true", help="time eval (no bwd/opt)")
+    args = ap.parse_args()
+    shape = SHAPES[args.shape]
+    b = shape[0]
+    print(f"shape={args.shape} {shape} dtype={args.dtype}", file=sys.stderr)
+    for path in args.paths.split(","):
+        try:
+            step, params, opt, batch = build(shape, args.dtype, path,
+                                             training=not args.eval)
+            dt, comp, loss = timeit(step, params, opt, batch, iters=args.iters)
+            print(f"{path:10s} {dt * 1e3:8.3f} ms/step  {b / dt:9.1f} graphs/s"
+                  f"  (compile {comp:.1f}s, loss {loss:.4f})", flush=True)
+        except Exception as e:
+            print(f"{path:10s} FAILED: {type(e).__name__}: {e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -109,6 +109,9 @@ class GraphModelConfig:
     # TPU execution knobs (no reference equivalent)
     fused_attention: bool = False         # Pallas kernel (ops/egt_pallas.py)
     fused_edge_block: bool = False        # Pallas kernel (ops/edge_block_pallas.py)
+    fused_layer: bool = False             # whole-layer Pallas megakernel
+    #   (ops/fused_layer_pallas.py); subsumes the two kernels above for the
+    #   pre-LN residual/constrained family
     compute_dtype: str = "float32"        # float32 | bfloat16
     remat: bool = False                   # per-layer rematerialization
 

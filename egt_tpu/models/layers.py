@@ -478,6 +478,29 @@ def layer_forward(p, cfg, h, e, node_mask, edge_mask, training, rng, sp,
     norm_node = make_norm(cfg.node_normalization)
     norm_edge = make_norm(cfg.edge_normalization, sp)
 
+    from ..ops.fused_layer_pallas import can_fuse_layer, fused_layer_apply
+    if (e is not None
+            and can_fuse_layer(cfg, training, sp, capture, e.shape[1])
+            and (cfg.edge_channel_type != "constrained"
+                 or edge_mask is not None)):
+        # whole-layer megakernel: edge pre-LN -> gates/bias -> attention ->
+        # dense_edge_r + residual -> edge-FFN, one VMEM pass. The node-stream
+        # denses stay in XLA (they are (b, l, w)-sized and fuse well there).
+        y_h = h
+        h_n, _ = norm_node(p["norm_mha"], h, training)   # pre-LN (guaranteed)
+        qkv = dense(p["dense_qkv"], h_n)
+        e, v_att = fused_layer_apply(p, cfg, e, qkv, node_mask, edge_mask,
+                                     training, rng_a)
+        h_mha = dense(p["dense_mha"], v_att)
+        if cfg.node_dropout > 0 and training:
+            h_mha = dropout(h_mha, cfg.node_dropout, training,
+                            fold_rng(rng_a, 2))
+        h = h_mha + y_h
+        h, _, upd_f = ffn_block(p, cfg, norm_node, norm_edge, h, None,
+                                node_mask, training, rng_f, sp,
+                                skip_edge=True)
+        return h, e, None, None, upd_f, analysis
+
     fuse_edge = can_fuse_edge_block(cfg, training, sp, capture)
     h, e, node_repr, edge_repr, upd_a = edge_update(
         p, cfg, norm_node, norm_edge, h, e, node_mask, edge_mask,

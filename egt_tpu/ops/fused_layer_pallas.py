@@ -1,0 +1,1105 @@
+"""Fused whole-layer EGT kernel (TPU Pallas): the edge-heavy core of one layer.
+
+Covers, in ONE VMEM pass per (graph, query-block) program, everything the
+reference computes on (b, l, l, *) tensors in a layer
+(`lib/models/graph_xformer_model_base.py:192-223,309-324` +
+`lib/models/egt_layers.py:57-143`):
+
+    e_ln = LayerNorm(e)                       # pre-LN on the edge channel
+    G    = e_ln @ Wg + bg                     # attention gates
+    E    = act(e_ln @ Wb + bb)                # edge bias
+    S    = clip(q k^T / sqrt(d))              # logits
+    H    = S + E                              # h_hat (feeds the edge stream)
+    A    = softmax_j(H + masks [+ rmask]) * sigmoid(G + masks [+ rmask])
+    v_att= dropout(A) @ v
+    e_mid= H @ Wr + br + e                    # dense_edge_r + residual
+    e_out= ELU(LN(e_mid) @ W1 + b1) @ W2 + b2 + e_mid   # edge FFN + residual
+
+The unfused path round-trips ~10 (b,l,l,*) tensors through HBM per layer
+(measured: 53% fusion time + 24% relayout copies at the ZINC-500k shape); the
+fused path reads e once and writes e_out once. The backward kernel recomputes
+every intermediate from the saved inputs (nothing quadratic is saved) and
+regenerates random-mask/dropout bits from the same per-program PRNG stream.
+
+Layouts (the whole point — every lane is used even at edge_width 64):
+
+- Edge stream: pairs are PACKED p per row, where p is the largest divisor of
+  l with p*heads <= 128. A (l, l, ew) edge tensor becomes (l*l/p, p*ew) rows:
+  row i*(l/p)+jj holds pairs (i, jj*p..jj*p+p-1); weights become
+  block-diagonal kron(I_p, W) so one GEMM applies W to all packed slots.
+  LayerNorm runs per ew-slot via averaging selector matmuls.
+- Attention: per-pair head tensors live as (i-rows, latt lanes) with
+  latt = (l/p)*128: lane m = jj*128 + (r*h + hh) addresses pair j = jj*p + r,
+  head hh; lanes with m%128 >= p*h are PADDING. Why 128-lane groups: Mosaic
+  supports lane<->sublane reshapes only when both lane counts are multiples
+  of 128, so the packed (rows, 128) <-> attention (bi, (l/p)*128) bridge is a
+  legal row-major reshape (verified on hardware), at a lane-padding cost of
+  128/(p*h) (1x when p*h = 128, e.g. ew=8 h=8 l%16=0; 1.6x for ZINC l=40 h=8).
+  Projection weights place W[c, hh] at [r*ew+c, r*h+hh] of a (p*ew, 128)
+  matrix (zeros elsewhere), so projections land DIRECTLY in bridge layout.
+  K/V are expanded in-kernel to this layout with one selector GEMM:
+      S  = q (bi,dh) @ K_bd (dh, latt),  K_bd[dk, m] = kT[dk, j(m)]*(dk%h==m%h)
+      v_att = A (bi, latt) @ V_bd (latt, dh)
+  Padding lanes are masked to -1e9 for free: the key-mask expansion
+  mask @ SEL yields 0 there, so (mask-1)*1e9 kills them; V_bd's padding rows
+  are zero, so they contribute nothing to values or gradients.
+  Windowed (per-head) softmax sums use 0/1 selector matmuls; the stabilizer is
+  the per-row max over ALL heads (exactly equivalent — softmax is invariant to
+  the shared shift; a tiny-denominator guard keeps fully-masked rows finite,
+  where the reference yields uniform-softmax x zero-gate = 0 as we do).
+
+Eligibility (callers fall back to the unfused path otherwise): residual /
+constrained edge channel, pre-LN, LayerNorm edge normalization, no FFN
+cross-talk, no edge dropout at training time, no degree scaler, l % p == 0.
+Virtual nodes are fine (their rows are ordinary rows when scale_degree=False).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+_EPS = 1e-3                 # Keras LayerNormalization default
+_LANES = 128
+# live f32 footprint per program ~ (bi*l/p)*PL * C1 + bi*l*h * C2; cap it
+_VMEM_BUDGET_ELEMS = 1_200_000
+
+
+class LayerSpec(NamedTuple):
+    """Static shape/behavior of one fused layer call (hashable: custom_vjp
+    closes over it)."""
+    l: int                   # padded node count
+    ew: int                  # edge width
+    h: int                   # heads
+    dh: int                  # d*h = qkv width per stream
+    p: int                   # pairs packed per row (largest l-divisor, p*h<=128)
+    hidden: int              # edge FFN hidden width (ew * ffn_multiplier)
+    bi: int                  # query rows per program
+    gated: bool
+    constrained: bool        # hard attention mask input present
+    clip: tuple | None       # (lo, hi) logit clip
+    edge_act: str | None     # activation on the edge bias projection
+    act: str                 # FFN activation
+    scale: float             # d^-1/2
+    random_mask_prob: float
+    attn_dropout: float
+    training: bool
+
+    @property
+    def ph(self) -> int:
+        """Valid (non-padding) lanes per 128-lane attention group."""
+        return self.p * self.h
+
+    @property
+    def latt(self) -> int:
+        """Attention lane count: l/p groups of 128 lanes."""
+        return (self.l // self.p) * _LANES
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _prec(dt):
+    return (jax.lax.Precision.HIGHEST if dt == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+
+
+def _mm(a, b, dt):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=_prec(dt))
+
+
+def _mm_dims(a, b, dims, dt):
+    return jax.lax.dot_general(a, b, (dims, ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=_prec(dt))
+
+
+def _act(name, x):
+    if name is None:
+        return x
+    if name == "elu":
+        # expm1 is unsupported by the Mosaic lowering
+        return jnp.where(x > 0, x, jnp.exp(jnp.minimum(x, 0.0)) - 1.0)
+    if name == "relu":
+        return jnp.maximum(x, 0.0)
+    if name.startswith("lrelu"):
+        alpha = float(name[-1]) / 10.0
+        return jnp.where(x > 0, x, alpha * x)
+    raise ValueError(f"fused layer: unsupported activation {name!r}")
+
+
+def _act_grad(name, pre, post):
+    if name is None:
+        return jnp.ones_like(pre)
+    if name == "elu":
+        return jnp.where(pre > 0, 1.0, post + 1.0)
+    if name == "relu":
+        return jnp.where(pre > 0, 1.0, 0.0)
+    if name.startswith("lrelu"):
+        alpha = float(name[-1]) / 10.0
+        return jnp.where(pre > 0, 1.0, alpha)
+    raise ValueError(name)
+
+
+def _uniform_from_bits(shape):
+    """uint32 bits -> uniform [0,1) f32 (no int->float cast in Mosaic)."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    mantissa = jax.lax.shift_right_logical(bits, jnp.uint32(9))
+    fbits = jax.lax.bitwise_or(mantissa, jnp.uint32(0x3F800000))
+    return pltpu.bitcast(fbits, jnp.float32) - 1.0
+
+
+def _make_uniform(seed_ref):
+    """Per-program uniform sampler; fwd and bwd re-seed identically. The linear
+    program encoding g*n_ib + ib is collision-free by construction."""
+    g = pl.program_id(0)
+    ib = pl.program_id(1)
+    if _interpret():
+        base = jax.random.PRNGKey(seed_ref[0])
+        base = jax.random.fold_in(base, g * pl.num_programs(1) + ib)
+
+        def uniform(shape, idx):
+            return jax.random.uniform(jax.random.fold_in(base, idx), shape)
+    else:
+        pltpu.prng_seed(seed_ref[0] + g * pl.num_programs(1) + ib)
+
+        def uniform(shape, idx):
+            del idx  # hardware PRNG draws sequentially in a fixed order
+            return _uniform_from_bits(shape)
+
+    return uniform
+
+
+# ------------------------------------------------------------- in-kernel helpers
+
+
+def _halfwise_stats(xf, spec: LayerSpec):
+    """Per-ew-slot mean/rstd of (rows, p*ew) f32 via selector matmuls.
+    Returns (mu, rstd) broadcast back to (rows, p*ew)."""
+    p, ew = spec.p, spec.ew
+    PL = p * ew
+    rows_sel = jax.lax.broadcasted_iota(jnp.int32, (PL, p), 0) // ew
+    cols_sel = jax.lax.broadcasted_iota(jnp.int32, (PL, p), 1)
+    msel = jnp.where(rows_sel == cols_sel, 1.0 / ew, 0.0)        # (PL, p)
+    spread = jnp.where(rows_sel == cols_sel, 1.0, 0.0).T          # (p, PL)
+    mu = _mm(_mm(xf, msel, jnp.float32), spread, jnp.float32)
+    d = xf - mu
+    var = _mm(_mm(d * d, msel, jnp.float32), spread, jnp.float32)
+    return mu, jax.lax.rsqrt(var + _EPS)
+
+
+def _head_sum_mats(spec: LayerSpec):
+    """Selectors for per-head windowed sums over the (*, latt) lane axis:
+    rsum (latt, h) sums a head's VALID lanes; rspread (h, latt) broadcasts a
+    per-head value back to every lane of that head (padding lanes included —
+    harmless, their numerators are zero)."""
+    latt, h, ph = spec.latt, spec.h, spec.ph
+    m = jax.lax.broadcasted_iota(jnp.int32, (latt, h), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (latt, h), 1)
+    valid = (m % _LANES) < ph
+    rsum = jnp.where(jnp.logical_and(m % h == col, valid), 1.0, 0.0)
+    rspread = jnp.where(m % h == col, 1.0, 0.0).T                # (h, latt)
+    return rsum, rspread
+
+
+def _expand_sel(spec: LayerSpec, dt=jnp.float32):
+    """0/1 selector S (l, latt): S[j', m] = 1 iff lane m is valid and
+    addresses key j' (m = jj*128 + r*h + hh -> j = jj*p + r). Right-multiply
+    to expand a per-key axis into attention lanes (padding lanes get 0);
+    left-multiply to sum a latt-row axis back per key. (pltpu.repeat is a
+    TILE repeat — [x, x] — so the interleave must be a matmul, which the MXU
+    does for free anyway.)"""
+    latt, h, p, ph = spec.latt, spec.h, spec.p, spec.ph
+    rows = jax.lax.broadcasted_iota(jnp.int32, (spec.l, latt), 0)
+    m = jax.lax.broadcasted_iota(jnp.int32, (spec.l, latt), 1)
+    s = m % _LANES
+    j_of_m = (m // _LANES) * p + s // h
+    valid = s < ph
+    return jnp.where(jnp.logical_and(rows == j_of_m, valid),
+                     1.0, 0.0).astype(dt)
+
+
+def _expand_sel_t(spec: LayerSpec, dt=jnp.float32):
+    """SEL^T (latt, l), built directly by iota — NOT by transposing SEL.
+    Mosaic would lower a transpose of a wide f32 tile through the relayout
+    machinery per program; an iota-compare constant is free."""
+    latt, h, p, ph = spec.latt, spec.h, spec.p, spec.ph
+    m = jax.lax.broadcasted_iota(jnp.int32, (latt, spec.l), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (latt, spec.l), 1)
+    s = m % _LANES
+    j_of_m = (m // _LANES) * p + s // h
+    valid = s < ph
+    return jnp.where(jnp.logical_and(cols == j_of_m, valid),
+                     1.0, 0.0).astype(dt)
+
+
+def _head_mask(shape, h, val):
+    """Zero entries whose row head (row % h) != lane head (lane % h)."""
+    row_h = jax.lax.broadcasted_iota(jnp.int32, shape, 0) % h
+    lane_h = jax.lax.broadcasted_iota(jnp.int32, shape, 1) % h
+    return jnp.where(row_h == lane_h, val, jnp.zeros((), val.dtype))
+
+
+def _expand_kt(kt, sel, spec: LayerSpec):
+    """kT (dh, l) -> K_bd (dh, latt): K_bd[dk, m] = kT[dk, j(m)]*(dk%h==m%h)
+    (rows are d*h + hh, d-major)."""
+    kbd = _mm(kt, sel.astype(kt.dtype), kt.dtype)                # (dh, latt)
+    return _head_mask(kbd.shape, spec.h, kbd).astype(kt.dtype)
+
+
+def _expand_v(v, sel_t, spec: LayerSpec):
+    """v (l, dh) -> V_bd (latt, dh): sublane interleave-expand + head mask.
+    Uses SEL^T so the matmul is standard-orientation (no operand transpose)."""
+    vbd = _mm(sel_t.astype(v.dtype), v, v.dtype)                 # (latt, dh)
+    return _head_mask(vbd.shape, spec.h, vbd).astype(v.dtype)
+
+
+def _mask_add_lanes(mask_row, sel, spec: LayerSpec):
+    """(1, l) 0/1 key mask -> (1, l*h) additive (m-1)*1e9 in lane layout."""
+    m = _mm(mask_row.astype(jnp.float32), sel, jnp.float32)
+    return (m - 1.0) * 1e9
+
+
+def _attention_fwd(spec: LayerSpec, uniform, qf, kbd, e_att, g_att, madd,
+                   aadd, dt):
+    """Shared fwd attention math on (bi, l*h) tiles. Returns a dict of
+    intermediates (f32) used by both kernels."""
+    s_raw = _mm(qf, kbd, dt) * spec.scale
+    if spec.clip is not None:
+        s_c = jnp.clip(s_raw, spec.clip[0], spec.clip[1])
+    else:
+        s_c = s_raw
+    hh = s_c + e_att                                             # h_hat
+    logits = hh + madd
+    g = None
+    if spec.gated:
+        g = g_att + madd
+    if aadd is not None:
+        logits = logits + aadd
+        if g is not None:
+            g = g + aadd
+    rmask_u = None
+    if spec.training and spec.random_mask_prob > 0.0:
+        rmask_u = uniform(logits.shape, 0)
+        radd = jnp.where(rmask_u < spec.random_mask_prob, NEG_INF, 0.0)
+        logits = logits + radd
+        if g is not None:
+            g = g + radd
+    rowmax = jnp.max(logits, axis=-1, keepdims=True)
+    ex = jnp.exp(logits - rowmax)
+    rsum, rspread = _head_sum_mats(spec)
+    denom = _mm(ex, rsum, jnp.float32)                           # (bi, h)
+    denom_b = _mm(denom, rspread, jnp.float32)
+    a_sm = ex / jnp.maximum(denom_b, 1e-30)
+    sg = None
+    a = a_sm
+    if spec.gated:
+        sg = jax.nn.sigmoid(g)
+        a = a_sm * sg
+    drop_u = None
+    a_drop = a
+    if spec.training and spec.attn_dropout > 0.0:
+        drop_u = uniform(a.shape, 1)
+        keep = 1.0 - spec.attn_dropout
+        a_drop = jnp.where(drop_u >= spec.attn_dropout, a / keep, 0.0)
+    return dict(s_raw=s_raw, hh=hh, a_sm=a_sm, sg=sg, a=a, a_drop=a_drop,
+                drop_u=drop_u, rsum=rsum, rspread=rspread)
+
+
+def _edge_tail_fwd(spec: LayerSpec, hh2, e2f, wr, br, g2, b2ln, w1, bb1, w2,
+                   bb2, dt):
+    """dense_edge_r + residual + LN + FFN on packed (rows, p*ew) tiles."""
+    e_mid = _mm(hh2.astype(dt), wr, dt) + br + e2f
+    mu2, rstd2 = _halfwise_stats(e_mid, spec)
+    x2 = (e_mid - mu2) * rstd2
+    xn2 = g2 * x2 + b2ln
+    pre = _mm(xn2.astype(dt), w1, dt) + bb1
+    hid = _act(spec.act, pre)
+    e_out = _mm(hid.astype(dt), w2, dt) + bb2 + e_mid
+    return e_mid, x2, rstd2, xn2, pre, hid, e_out
+
+
+def _edge_head_fwd(spec: LayerSpec, e2f, g1, b1ln, wg, bg, wb, bb, dt):
+    """Pre-LN + gates/edge-bias projections on packed tiles."""
+    mu1, rstd1 = _halfwise_stats(e2f, spec)
+    x1 = (e2f - mu1) * rstd1
+    e_ln = g1 * x1 + b1ln
+    e_ln_dt = e_ln.astype(dt)
+    g2d = None
+    if spec.gated:
+        g2d = _mm(e_ln_dt, wg, dt) + bg                          # (rows, p*h)
+    e2d_pre = _mm(e_ln_dt, wb, dt) + bb
+    e2d = _act(spec.edge_act, e2d_pre)
+    return x1, rstd1, e_ln, g2d, e2d_pre, e2d
+
+
+# ---------------------------------------------------------------------- forward
+
+
+def _fwd_kernel(spec: LayerSpec, seed_ref, *refs):
+    it = iter(refs)
+    e2_ref = next(it)
+    q_ref = next(it)
+    kt_ref = next(it)
+    v_ref = next(it)
+    mask_ref = next(it)
+    amask_ref = next(it) if spec.constrained else None
+    wg_ref = next(it) if spec.gated else None
+    bg_ref = next(it) if spec.gated else None
+    wb_ref, bb_ref = next(it), next(it)
+    g1_ref, b1ln_ref = next(it), next(it)
+    wr_ref, br_ref = next(it), next(it)
+    g2_ref, b2ln_ref = next(it), next(it)
+    w1_ref, bb1_ref = next(it), next(it)
+    w2_ref, bb2_ref = next(it), next(it)
+    eout_ref = next(it)
+    vatt_ref = next(it)
+
+    dt = e2_ref.dtype
+    uniform = _make_uniform(seed_ref)
+    bi, lp = spec.bi, spec.l // spec.p
+    rows = bi * lp
+    LH = spec.latt
+
+    e2f = e2_ref[...].astype(jnp.float32)
+    _, _, _, g2d, _, e2d = _edge_head_fwd(
+        spec, e2f, g1_ref[...], b1ln_ref[...], wg_ref[...] if spec.gated
+        else None, bg_ref[...] if spec.gated else None, wb_ref[...],
+        bb_ref[...], dt)
+
+    # packed (rows, p*h) -> attention (bi, l*h) view (row-major)
+    e_att = e2d.reshape(bi, LH)
+    g_att = g2d.reshape(bi, LH) if spec.gated else None
+    sel = _expand_sel(spec)
+    madd = _mask_add_lanes(mask_ref[pl.ds(pl.program_id(0), 1), :], sel, spec)             # (1, LH)
+    aadd = None
+    if spec.constrained:
+        am = _mm(amask_ref[...].astype(jnp.float32), sel, jnp.float32)
+        aadd = (am - 1.0) * 1e9
+
+    kbd = _expand_kt(kt_ref[...], sel, spec)
+    att = _attention_fwd(spec, uniform, q_ref[...], kbd, e_att, g_att, madd,
+                         aadd, dt)
+
+    vbd = _expand_v(v_ref[...], _expand_sel_t(spec), spec)
+    v_att = _mm(att["a_drop"].astype(dt), vbd, dt)
+    vatt_ref[...] = v_att.astype(vatt_ref.dtype)
+
+    hh2 = att["hh"].reshape(rows, _LANES)
+    *_, e_out = _edge_tail_fwd(
+        spec, hh2, e2f, wr_ref[...], br_ref[...], g2_ref[...], b2ln_ref[...],
+        w1_ref[...], bb1_ref[...], w2_ref[...], bb2_ref[...], dt)
+    eout_ref[...] = e_out.astype(eout_ref.dtype)
+
+
+# --------------------------------------------------------------------- backward
+
+
+def _bwd_kernel(spec: LayerSpec, seed_ref, *refs):
+    it = iter(refs)
+    e2_ref = next(it)
+    q_ref = next(it)
+    kt_ref = next(it)
+    k_ref = next(it)                 # (l, dh) — for the no-transpose dq path
+    vt_ref = next(it)                # (dh, l) — for the no-transpose da path
+    mask_ref = next(it)
+    amask_ref = next(it) if spec.constrained else None
+    wg_ref = next(it) if spec.gated else None
+    bg_ref = next(it) if spec.gated else None
+    wb_ref, bb_ref = next(it), next(it)
+    g1_ref, b1ln_ref = next(it), next(it)
+    wr_ref, br_ref = next(it), next(it)
+    g2_ref, b2ln_ref = next(it), next(it)
+    w1_ref, bb1_ref = next(it), next(it)
+    w2_ref, bb2_ref = next(it), next(it)
+    wgt_ref = next(it) if spec.gated else None   # transposed weights
+    wbt_ref = next(it)
+    wrt_ref = next(it)
+    w1t_ref = next(it)
+    w2t_ref = next(it)
+    geout_ref = next(it)
+    gvatt_ref = next(it)
+    # outputs
+    de2_ref = next(it)
+    dq_ref = next(it)
+    dkt_ref = next(it)
+    dvt_ref = next(it)
+    dwg_ref = next(it) if spec.gated else None
+    dbg_ref = next(it) if spec.gated else None
+    dwb_ref, dbb_ref = next(it), next(it)
+    dg1_ref, db1ln_ref = next(it), next(it)
+    dwr_ref, dbr_ref = next(it), next(it)
+    dg2_ref, db2ln_ref = next(it), next(it)
+    dw1_ref, dbb1_ref = next(it), next(it)
+    dw2_ref, dbb2_ref = next(it), next(it)
+    accs = list(it)   # VMEM scratch accumulators, one per weight-grad output
+    wgrad_refs = ([dwg_ref, dbg_ref] if spec.gated else []) + [
+        dwb_ref, dbb_ref, dg1_ref, db1ln_ref, dwr_ref, dbr_ref,
+        dg2_ref, db2ln_ref, dw1_ref, dbb1_ref, dw2_ref, dbb2_ref]
+
+    dt = e2_ref.dtype
+    uniform = _make_uniform(seed_ref)
+    bi, lp = spec.bi, spec.l // spec.p
+    rows = bi * lp
+    LH = spec.latt
+    h = spec.h
+
+    # ---- recompute forward
+    e2f = e2_ref[...].astype(jnp.float32)
+    g1 = g1_ref[...]
+    g2 = g2_ref[...]
+    wg = wg_ref[...] if spec.gated else None
+    wb = wb_ref[...]
+    wr = wr_ref[...]
+    w1 = w1_ref[...]
+    w2 = w2_ref[...]
+    x1, rstd1, e_ln, g2d, e2d_pre, e2d = _edge_head_fwd(
+        spec, e2f, g1, b1ln_ref[...], wg, bg_ref[...] if spec.gated else None,
+        wb, bb_ref[...], dt)
+    e_att = e2d.reshape(bi, LH)
+    g_att = g2d.reshape(bi, LH) if spec.gated else None
+    sel = _expand_sel(spec)
+    madd = _mask_add_lanes(mask_ref[pl.ds(pl.program_id(0), 1), :], sel, spec)
+    aadd = None
+    if spec.constrained:
+        am = _mm(amask_ref[...].astype(jnp.float32), sel, jnp.float32)
+        aadd = (am - 1.0) * 1e9
+    qf = q_ref[...]
+    kt = kt_ref[...]
+    kbd = _expand_kt(kt, sel, spec)
+    att = _attention_fwd(spec, uniform, qf, kbd, e_att, g_att, madd, aadd, dt)
+    hh2 = att["hh"].reshape(rows, _LANES)
+    e_mid, x2, rstd2, xn2, pre, hid, _ = _edge_tail_fwd(
+        spec, hh2, e2f, wr, br_ref[...], g2, b2ln_ref[...], w1, bb1_ref[...],
+        w2, bb2_ref[...], dt)
+
+    # All matmuls below are STANDARD orientation (contract lhs lanes x rhs
+    # sublanes): transposed weights arrive as extra const inputs, SEL^T is
+    # iota-built, and the only in-kernel transposes are the tiny (bi, dh)
+    # q/gv tiles. Mosaic lowers non-standard dot_general contractions through
+    # per-program relayout transposes — at (*, latt)-wide f32 tiles those
+    # dominated the whole step (measured 17 ms/layer at the PATTERN shape).
+
+    first_ib0 = pl.program_id(1) == 0
+    first0 = jnp.logical_and(pl.program_id(0) == 0, first_ib0)
+
+    def _stub_out(val):
+        """Bisection aid: write outputs derived from the chain-so-far."""
+        de2_ref[...] = val.astype(de2_ref.dtype)
+        dq_ref[...] = qf
+
+        @pl.when(first_ib0)
+        def _():
+            dkt_ref[...] = jnp.zeros_like(dkt_ref)
+            dvt_ref[...] = jnp.zeros_like(dvt_ref)
+
+        @pl.when(first0)
+        def _():
+            accs = [dwb_ref, dbb_ref, dg1_ref, db1ln_ref, dwr_ref, dbr_ref,
+                    dg2_ref, db2ln_ref, dw1_ref, dbb1_ref, dw2_ref, dbb2_ref]
+            if spec.gated:
+                accs += [dwg_ref, dbg_ref]
+            for ref in accs:
+                ref[...] = jnp.zeros_like(ref)
+
+    if _BWD_STUB == 1:   # recompute only
+        _stub_out(e_mid * (1.0 + 1e-30 * jnp.sum(att["a_drop"])))
+        return
+
+    # ---- FFN tail backward (data grads)
+    sel_t = _expand_sel_t(spec)
+    g_out = geout_ref[...].astype(jnp.float32)
+    g_out_dt = g_out.astype(dt)
+    dhid = _mm(g_out_dt, w2t_ref[...], dt)                       # (rows, p*hid)
+    dpre = dhid * _act_grad(spec.act, pre, hid)
+    dpre_dt = dpre.astype(dt)
+    dxn2 = _mm(dpre_dt, w1t_ref[...], dt)                        # (rows, PL)
+    dx2 = dxn2 * g2
+    # halfwise LN backward
+    PL = spec.p * spec.ew
+    rows_sel = jax.lax.broadcasted_iota(jnp.int32, (PL, spec.p), 0) // spec.ew
+    cols_sel = jax.lax.broadcasted_iota(jnp.int32, (PL, spec.p), 1)
+    msel = jnp.where(rows_sel == cols_sel, 1.0 / spec.ew, 0.0)
+    spread = jnp.where(rows_sel == cols_sel, 1.0, 0.0).T
+    m1 = _mm(_mm(dx2, msel, jnp.float32), spread, jnp.float32)
+    m2 = _mm(_mm(dx2 * x2, msel, jnp.float32), spread, jnp.float32)
+    de_mid = (dx2 - m1 - x2 * m2) * rstd2 + g_out
+    de_mid_dt = de_mid.astype(dt)
+    dhh2 = _mm(de_mid_dt, wrt_ref[...], dt)                      # (rows, 128)
+    de2_acc = de_mid                                             # residual
+
+    if _BWD_STUB == 2:   # + FFN tail data grads
+        _stub_out(de_mid + 1e-30 * jnp.sum(dhh2))
+        return
+
+    # ---- attention backward
+    dhh = dhh2.reshape(bi, LH)                                   # from edge tail
+    gv = gvatt_ref[...].astype(dt)
+    vbd_t = _head_mask((spec.dh, LH), h,
+                       _mm(vt_ref[...], sel.astype(dt), dt)).astype(dt)
+    da_drop = _mm(gv, vbd_t, dt)                                 # (bi, LH)
+
+    da = da_drop
+    if spec.training and spec.attn_dropout > 0.0:
+        keep = 1.0 - spec.attn_dropout
+        da = jnp.where(att["drop_u"] >= spec.attn_dropout, da_drop / keep, 0.0)
+    a_sm = att["a_sm"]
+    if spec.gated:
+        sg = att["sg"]
+        dsg = da * a_sm
+        da_sm = da * sg
+        dgate = dsg * sg * (1.0 - sg)
+    else:
+        da_sm = da
+        dgate = None
+    t = _mm(da_sm * a_sm, att["rsum"], jnp.float32)
+    t_b = _mm(t, att["rspread"], jnp.float32)
+    dlogits = a_sm * (da_sm - t_b)
+    dhh_total = dlogits + dhh
+    if spec.clip is not None:
+        s_sc = att["s_raw"]
+        in_range = jnp.logical_and(s_sc > spec.clip[0], s_sc < spec.clip[1])
+        ds_raw = jnp.where(in_range, dhh_total, 0.0) * spec.scale
+    else:
+        ds_raw = dhh_total * spec.scale
+    ds_dt = ds_raw.astype(dt)
+    kbd_t = _head_mask((LH, spec.dh), h,
+                       _mm(sel_t.astype(dt), k_ref[...], dt)).astype(dt)
+    dq = _mm(ds_dt, kbd_t, dt)                                   # (bi, dh)
+    qf_t = qf.T                                                  # tiny (dh, bi)
+    dkbd = _head_mask((spec.dh, LH), h, _mm(qf_t, ds_dt, dt))
+    dkt = _mm(dkbd.astype(dt), sel_t.astype(dt), dt)             # (dh, l)
+    gv_t = gv.T                                                  # tiny (dh, bi)
+    dvbd_t = _head_mask((spec.dh, LH), h,
+                        _mm(gv_t, att["a_drop"].astype(dt), dt))
+    dvt = _mm(dvbd_t.astype(dt), sel_t.astype(dt), dt)           # (dh, l)
+
+    if _BWD_STUB == 3:   # + attention data grads
+        dq_ref[...] = dq.astype(dq_ref.dtype)
+        de2_ref[...] = de_mid.astype(de2_ref.dtype)
+
+        @pl.when(first_ib0)
+        def _():
+            dkt_ref[...] = jnp.zeros_like(dkt_ref)
+            dvt_ref[...] = jnp.zeros_like(dvt_ref)
+
+        dkt_ref[...] += dkt.astype(dkt_ref.dtype)
+        dvt_ref[...] += dvt.astype(dvt_ref.dtype)
+
+        @pl.when(first0)
+        def _():
+            accs = [dwb_ref, dbb_ref, dg1_ref, db1ln_ref, dwr_ref, dbr_ref,
+                    dg2_ref, db2ln_ref, dw1_ref, dbb1_ref, dw2_ref, dbb2_ref]
+            if spec.gated:
+                accs += [dwg_ref, dbg_ref]
+            for ref in accs:
+                ref[...] = jnp.zeros_like(ref)
+        return
+
+    # ---- edge-head backward (gates / edge bias / pre-LN)
+    de2d = dhh_total.reshape(rows, _LANES)
+    de2d_pre = de2d * _act_grad(spec.edge_act, e2d_pre, e2d)
+    de2d_pre_dt = de2d_pre.astype(dt)
+    de_ln = _mm(de2d_pre_dt, wbt_ref[...], dt)                   # (rows, PL)
+    if spec.gated:
+        dg2d = dgate.reshape(rows, _LANES)
+        dg2d_dt = dg2d.astype(dt)
+        de_ln = de_ln + _mm(dg2d_dt, wgt_ref[...], dt)
+    dx1 = de_ln * g1
+    m1 = _mm(_mm(dx1, msel, jnp.float32), spread, jnp.float32)
+    m2 = _mm(_mm(dx1 * x1, msel, jnp.float32), spread, jnp.float32)
+    de2 = (dx1 - m1 - x1 * m2) * rstd1 + de2_acc
+
+    de2_ref[...] = de2.astype(de2_ref.dtype)
+    dq_ref[...] = dq.astype(dq_ref.dtype)
+
+    first_ib = pl.program_id(1) == 0
+
+    @pl.when(first_ib)
+    def _init_per_graph():
+        dkt_ref[...] = jnp.zeros_like(dkt_ref)
+        dvt_ref[...] = jnp.zeros_like(dvt_ref)
+
+    dkt_ref[...] += dkt.astype(dkt_ref.dtype)
+    dvt_ref[...] += dvt.astype(dvt_ref.dtype)
+
+    first = jnp.logical_and(pl.program_id(0) == 0, first_ib)
+
+    @pl.when(first)
+    def _init_weight_grads():
+        for ref in accs:
+            ref[...] = jnp.zeros_like(ref)
+
+    if not _SKIP_WGRADS:  # diagnostic flag: skipping gives wrong grads
+        # ---- weight grads, accumulated in VMEM SCRATCH — NOT in the output
+        # blocks. Per-program read-modify-write of 14 revisited output blocks
+        # wrecks Mosaic's pipeline; scratch persists across the whole grid
+        # and the outputs are written exactly once, on the last program.
+        # (Row-contractions each need one activation transpose — the only
+        # large transposes left in the kernel.)
+        hid_dt = hid.astype(dt)
+        xn2_dt = xn2.astype(dt)
+        hh2_dt = hh2.astype(dt)
+        e_ln_dt = e_ln.astype(dt)
+        vals = []
+        if spec.gated:
+            vals += [_mm_dims(e_ln_dt, dg2d_dt, ((0,), (0,)), dt),   # dwg
+                     jnp.sum(dg2d, axis=0)[None]]                    # dbg
+        vals += [
+            _mm_dims(e_ln_dt, de2d_pre_dt, ((0,), (0,)), dt),        # dwb
+            jnp.sum(de2d_pre, axis=0)[None],                         # dbb
+            jnp.sum(de_ln * x1, axis=0)[None],                       # dg1
+            jnp.sum(de_ln, axis=0)[None],                            # db1ln
+            _mm_dims(hh2_dt, de_mid_dt, ((0,), (0,)), dt),           # dwr
+            jnp.sum(de_mid, axis=0)[None],                           # dbr
+            jnp.sum(dxn2 * x2, axis=0)[None],                        # dg2
+            jnp.sum(dxn2, axis=0)[None],                             # db2ln
+            _mm_dims(xn2_dt, dpre_dt, ((0,), (0,)), dt),             # dw1
+            jnp.sum(dpre, axis=0)[None],                             # dbb1
+            _mm_dims(hid_dt, g_out_dt, ((0,), (0,)), dt),            # dw2
+            jnp.sum(g_out, axis=0)[None],                            # dbb2
+        ]
+        for acc, val in zip(accs, vals):
+            acc[...] += val
+
+    last = jnp.logical_and(pl.program_id(0) == pl.num_programs(0) - 1,
+                           pl.program_id(1) == pl.num_programs(1) - 1)
+
+    @pl.when(last)
+    def _flush_weight_grads():
+        for out_ref, acc in zip(wgrad_refs, accs):
+            out_ref[...] = acc[...]
+
+
+# ------------------------------------------------------------- pallas plumbing
+
+
+def _pick_bi(spec_l, p, ew, h, dh) -> int:
+    """Query rows per program under the VMEM budget."""
+    # packed edge-stream tiles (~7 live) + padded attention tiles (~8 live)
+    per_i = spec_l * ew * 7 + (spec_l // p) * _LANES * 8 + 2 * dh
+    max_bi = max(1, _VMEM_BUDGET_ELEMS // per_i)
+    if spec_l <= max_bi:
+        return spec_l
+    for bi in range(min(max_bi, spec_l), 0, -1):
+        if spec_l % bi == 0:
+            return bi
+    return 1
+
+
+def _row_spec(r, f, nb_inner):
+    """Blocks of a (B*N, f) array: program (g, ib) takes block g*nb_inner+ib.
+    (Index maps take a trailing scalar-prefetch ref arg — hence *_.)"""
+    return pl.BlockSpec((r, f), lambda g, ib, *_: (g * nb_inner + ib, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _graph_spec(r, f):
+    """Per-graph block, constant across the inner grid axis."""
+    return pl.BlockSpec((r, f), lambda g, ib, *_: (g, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _const_spec(shape):
+    nd = len(shape)
+    return pl.BlockSpec(shape, lambda g, ib, *_: (0,) * nd,
+                        memory_space=pltpu.VMEM)
+
+
+def _weight_args(spec: LayerSpec, w):
+    """Ordered packed-weight arrays (matching the kernels' ref order)."""
+    args, specs = [], []
+    keys = ([("wg", "bg")] if spec.gated else []) + \
+        [("wb", "bb"), ("g1", "b1ln"), ("wr", "br"), ("g2", "b2ln"),
+         ("w1", "bb1"), ("w2", "bb2")]
+    for mk, vk in keys:
+        args += [w[mk], w[vk]]
+        specs += [_const_spec(w[mk].shape), _const_spec(w[vk].shape)]
+    return args, specs
+
+
+def _flat_shapes(spec: LayerSpec, b, dtype):
+    PL = spec.p * spec.ew
+    rg = spec.l * spec.l // spec.p
+    return dict(
+        e2=(b * rg, PL), q=(b * spec.l, spec.dh), kt=(b * spec.dh, spec.l),
+        v=(b * spec.l, spec.dh), mask=(b, spec.l), amask=(b * spec.l, spec.l),
+        rg=rg, PL=PL)
+
+
+def _call_grid(spec: LayerSpec, b):
+    n_ib = spec.l // spec.bi
+    return (b, n_ib), n_ib
+
+
+def _in_specs(spec: LayerSpec, b):
+    (_, n_ib) = _call_grid(spec, b)[0][1], None
+    n_ib = spec.l // spec.bi
+    PL = spec.p * spec.ew
+    rows = spec.bi * (spec.l // spec.p)
+    specs = [
+        _row_spec(rows, PL, n_ib),                       # e2
+        _row_spec(spec.bi, spec.dh, n_ib),               # q
+        _graph_spec(spec.dh, spec.l),                    # kT
+        _graph_spec(spec.l, spec.dh),                    # v
+        # whole (b, l) mask: a (1, l) per-graph block would violate the
+        # 8-sublane block constraint; the kernel slices its row dynamically
+        _const_spec((b, spec.l)),
+    ]
+    if spec.constrained:
+        specs.append(_row_spec(spec.bi, spec.l, n_ib))   # amask rows
+    return specs, n_ib, rows, PL
+
+
+def _fused_layer_fwd_call(spec: LayerSpec, seed, e2, q, kt, v, mask, amask, w):
+    b = mask.shape[0]
+    dt = e2.dtype
+    in_specs, n_ib, rows, PL = _in_specs(spec, b)
+    wargs, wspecs = _weight_args(spec, w)
+    args = [e2, q, kt, v, mask] + ([amask] if spec.constrained else []) + wargs
+    out_shape = [jax.ShapeDtypeStruct(e2.shape, dt),
+                 jax.ShapeDtypeStruct((b * spec.l, spec.dh), dt)]
+    out_specs = [_row_spec(rows, PL, n_ib),
+                 _row_spec(spec.bi, spec.dh, n_ib)]
+    grid = (b, n_ib)
+    kernel = functools.partial(_fwd_kernel, spec)
+    e_out, v_att = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid,
+            in_specs=in_specs + wspecs, out_specs=out_specs),
+        out_shape=out_shape,
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(seed, *args)
+    return e_out, v_att
+
+
+def _fused_layer_bwd_call(spec: LayerSpec, seed, e2, q, kt, v, mask, amask, w,
+                          g_eout, g_vatt):
+    b = mask.shape[0]
+    dt = e2.dtype
+    l, dh = spec.l, spec.dh
+    in_specs, n_ib, rows, PL = _in_specs(spec, b)
+    # k (l, dh) and vT (dh, l): XLA-side transposes of the saved operands so
+    # every in-kernel attention matmul is standard-orientation
+    k = jnp.swapaxes(kt.reshape(b, dh, l), 1, 2).reshape(b * l, dh)
+    vt = jnp.swapaxes(v.reshape(b, l, dh), 1, 2).reshape(b * dh, l)
+    # specs[3] (l, dh) — built for v — now describes k; vt needs a new one
+    in_specs.insert(4, _graph_spec(dh, l))                       # vt
+    wargs, wspecs = _weight_args(spec, w)
+    wt_args, wt_specs = [], []
+    for key in ((["wg"] if spec.gated else []) + ["wb", "wr", "w1", "w2"]):
+        wt = jnp.swapaxes(w[key], 0, 1)
+        wt_args.append(wt)
+        wt_specs.append(_const_spec(wt.shape))
+    args = [e2, q, kt, k, vt, mask] + ([amask] if spec.constrained else []) \
+        + wargs + wt_args + [g_eout, g_vatt]
+    in_specs = in_specs + wspecs + wt_specs + [
+        _row_spec(rows, PL, n_ib), _row_spec(spec.bi, spec.dh, n_ib)]
+
+    f32 = jnp.float32
+    out_shape = [
+        jax.ShapeDtypeStruct(e2.shape, dt),                      # de2
+        jax.ShapeDtypeStruct((b * spec.l, spec.dh), dt),         # dq
+        jax.ShapeDtypeStruct((b * spec.dh, spec.l), f32),        # dkT
+        jax.ShapeDtypeStruct((b * spec.dh, spec.l), f32),        # dvT
+    ]
+    out_specs = [
+        _row_spec(rows, PL, n_ib),
+        _row_spec(spec.bi, spec.dh, n_ib),
+        _graph_spec(spec.dh, spec.l),
+        _graph_spec(spec.dh, spec.l),
+    ]
+    # grad-output order must match the kernel's ref unpack order (gated first)
+    ordered = ([("wg", "bg")] if spec.gated else []) + \
+        [("wb", "bb"), ("g1", "b1ln"), ("wr", "br"), ("g2", "b2ln"),
+         ("w1", "bb1"), ("w2", "bb2")]
+    scratch_shapes = []
+    for mk, vk in ordered:
+        for wkey in (mk, vk):
+            shp = w[wkey].shape
+            out_shape.append(jax.ShapeDtypeStruct(shp, f32))
+            out_specs.append(_const_spec(shp))
+            scratch_shapes.append(pltpu.VMEM(shp, f32))
+
+    grid = (b, n_ib)
+    kernel = functools.partial(_bwd_kernel, spec)
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid,
+            in_specs=in_specs, out_specs=out_specs,
+            scratch_shapes=scratch_shapes),
+        out_shape=out_shape,
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(seed, *args)
+    de2, dq, dkt, dvt = outs[:4]
+    # dvT (b*dh, l) -> dv (b*l, dh): small XLA transpose
+    dv = jnp.swapaxes(dvt.reshape(b, dh, l), 1, 2).reshape(b * l, dh)
+    dw = {}
+    i = 4
+    for mk, vk in ordered:
+        dw[mk] = outs[i]
+        dw[vk] = outs[i + 1]
+        i += 2
+    return de2, dq, dkt, dv, dw
+
+
+# --------------------------------------------------------------- wiring + VJP
+
+_W_KEYS = ("wg", "bg", "wb", "bb", "g1", "b1ln", "wr", "br", "g2", "b2ln",
+           "w1", "bb1", "w2", "bb2")
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused_layer(spec: LayerSpec, seed, e2, q, kt, v, mask, amask, wtuple):
+    w = dict(zip(_W_KEYS, wtuple))
+    return _fused_layer_fwd_call(spec, seed, e2, q, kt, v, mask, amask, w)
+
+
+def _fused_layer_fwd(spec, seed, e2, q, kt, v, mask, amask, wtuple):
+    out = _fused_layer(spec, seed, e2, q, kt, v, mask, amask, wtuple)
+    return out, (seed, e2, q, kt, v, mask, amask, wtuple)
+
+
+def _fused_layer_bwd(spec, res, g):
+    seed, e2, q, kt, v, mask, amask, wtuple = res
+    g_eout, g_vatt = g
+    w = dict(zip(_W_KEYS, wtuple))
+    de2, dq, dkt, dv, dw = _fused_layer_bwd_call(
+        spec, seed, e2, q, kt, v, mask, amask, w, g_eout, g_vatt)
+    # cotangent dtypes must match the (possibly bf16) primal weights
+    dwt = tuple(dw[k].astype(w[k].dtype) if k in dw
+                else (jnp.zeros_like(w[k]) if w[k] is not None else None)
+                for k in _W_KEYS)
+    return (None, de2, dq, dkt.astype(kt.dtype), dv.astype(v.dtype),
+            jnp.zeros_like(mask),
+            None if amask is None else jnp.zeros_like(amask), dwt)
+
+
+_fused_layer.defvjp(_fused_layer_fwd, _fused_layer_bwd)
+
+
+# ------------------------------------------------------------------ public API
+
+
+_P_CAP = None  # test/tuning override for the pack factor
+_SKIP_WGRADS = False  # timing diagnostic: skip weight-grad accumulation
+_BWD_STUB = 0  # bisection: 1=recompute 2=+ffn-bwd 3=+attn-bwd 0=full
+
+
+def pick_pack(ew: int, l: int, h: int) -> int:
+    """Pairs packed per row: the largest divisor of l with p*h <= 128 (so a
+    128-lane group holds p pairs x h heads on the attention side). ew does
+    not constrain p — the packed row just spans p*ew/128 lane tiles.
+
+    Trade-off: attention-lane padding costs 128/(p*h), while the
+    block-diagonal edge weights cost p x redundant MXU FLOPs; the edge FFN
+    FLOPs are tiny in absolute terms, so maximize p."""
+    cap = _P_CAP if _P_CAP is not None else max(1, _LANES // h)
+    p = max(1, min(cap, _LANES // h))
+    while p > 1 and l % p:
+        p -= 1
+    return p
+
+
+def make_spec(cfg, l: int, training: bool) -> LayerSpec:
+    ew = cfg.edge_width
+    p = pick_pack(ew, l, cfg.num_heads)
+    h = cfg.num_heads
+    dh = cfg.model_width
+    hidden = round(ew * cfg.ffn_multiplier)
+    bi = _pick_bi(l, p, ew, h, dh)
+    clip = (tuple(cfg.clip_logits_value)
+            if cfg.clip_logits_value is not None else None)
+    d = dh // h
+    return LayerSpec(
+        l=l, ew=ew, h=h, dh=dh, p=p, hidden=hidden, bi=bi,
+        gated=cfg.gate_attention,
+        constrained=(cfg.edge_channel_type == "constrained"),
+        clip=clip, edge_act=cfg.edge_activation, act=cfg.activation,
+        scale=float(d) ** -0.5,
+        random_mask_prob=float(cfg.random_mask_prob),
+        attn_dropout=float(cfg.attn_dropout), training=training)
+
+
+def can_fuse_layer(cfg, training: bool, sp, capture: bool, l: int) -> bool:
+    """Static eligibility of the fused whole-layer kernel."""
+    if not getattr(cfg, "fused_layer", False) or sp is not None or capture:
+        return False
+    if cfg.edge_channel_type not in ("residual", "constrained"):
+        return False
+    if getattr(cfg, "combine_layer_repr", False):
+        return False  # the caller needs per-layer intermediate reprs
+    if cfg.add_n_norm or cfg.edge_normalization != "layer":
+        return False
+    if cfg.node2edge_xtalk > 0.0 or cfg.edge2node_xtalk > 0.0:
+        return False
+    if training and cfg.edge_dropout > 0.0:
+        return False
+    if cfg.scale_degree:
+        return False
+    if cfg.activation not in ("elu", "relu") and \
+            not str(cfg.activation).startswith("lrelu"):
+        return False
+    ea = cfg.edge_activation
+    if ea is not None and ea not in ("elu", "relu") and \
+            not str(ea).startswith("lrelu"):
+        return False
+    if cfg.model_width % cfg.num_heads:
+        return False
+    if _LANES % cfg.num_heads:
+        return False  # lane->head mapping needs h | 128
+    return True
+
+
+def pack_edge(e, p):
+    """(b, l, l, ew) -> (b*l*l/p, p*ew) packed rows."""
+    b, l, _, ew = e.shape
+    return e.reshape(b * l * (l // p), p * ew), p
+
+
+def unpack_edge(e2, b, l, ew):
+    return e2.reshape(b, l, l, ew)
+
+
+def pack_params(p_layer, spec: LayerSpec, dtype):
+    """Layer params subtree -> packed/block-diagonal kernel weights (tiny
+    jnp ops; XLA hoists them out of the step's hot region).
+
+    Projection weights (ew->h) land in the 128-lane bridge layout: W[c, hh]
+    at [r*ew+c, r*h+hh] of a (p*ew, 128) matrix, zeros elsewhere (including
+    the p*h..128 padding lanes). dense_edge_r (h->ew) is the transpose
+    pattern (128, p*ew) with zero padding ROWS, so bridge-padding garbage is
+    annihilated without any slicing."""
+    pk, ew, h = spec.p, spec.ew, spec.h
+
+    def bd(wm):
+        return jnp.kron(jnp.eye(pk, dtype=dtype), wm.astype(dtype))
+
+    def proj(wkey):
+        wm = bd(p_layer[wkey]["kernel"])                    # (p*ew, p*h)
+        return jnp.pad(wm, ((0, 0), (0, _LANES - pk * h)))
+
+    def proj_bias(wkey):
+        b = jnp.tile(p_layer[wkey]["bias"].astype(jnp.float32), pk)
+        return jnp.pad(b, (0, _LANES - pk * h))[None]
+
+    def tl(wkey):
+        return jnp.tile(p_layer[wkey]["bias"].astype(jnp.float32), pk)[None]
+
+    def lnp(sub):
+        return (jnp.tile(sub["gamma"].astype(jnp.float32), pk)[None],
+                jnp.tile(sub["beta"].astype(jnp.float32), pk)[None])
+
+    w = {}
+    if spec.gated:
+        w["wg"], w["bg"] = proj("attention_gates"), proj_bias("attention_gates")
+    else:
+        w["wg"] = w["bg"] = None
+    w["wb"], w["bb"] = proj("dense_edge_b"), proj_bias("dense_edge_b")
+    w["g1"], w["b1ln"] = lnp(p_layer["norm_edge"])
+    w["wr"] = jnp.pad(bd(p_layer["dense_edge_r"]["kernel"]),   # (p*h, p*ew)
+                      ((0, _LANES - pk * h), (0, 0)))
+    w["br"] = tl("dense_edge_r")
+    w["g2"], w["b2ln"] = lnp(p_layer["edge_ffn"]["norm"])
+    # edge_ffn holds lr1/lr2 subtrees
+    w["w1"] = bd(p_layer["edge_ffn"]["lr1"]["kernel"])
+    w["bb1"] = jnp.tile(
+        p_layer["edge_ffn"]["lr1"]["bias"].astype(jnp.float32), pk)[None]
+    w["w2"] = bd(p_layer["edge_ffn"]["lr2"]["kernel"])
+    w["bb2"] = jnp.tile(
+        p_layer["edge_ffn"]["lr2"]["bias"].astype(jnp.float32), pk)[None]
+    return w
+
+
+def unpack_wgrads(dw, spec: LayerSpec, p_layer):
+    """Packed weight grads -> the layer params subtree structure."""
+    pk = spec.p
+
+    def fold_bd(g, rows, cols):
+        out = g[0:rows, 0:cols]
+        for r in range(1, pk):
+            out = out + g[r * rows:(r + 1) * rows, r * cols:(r + 1) * cols]
+        return out
+
+    def fold_t(g, n):
+        v = g[0]
+        out = v[0:n]
+        for r in range(1, pk):
+            out = out + v[r * n:(r + 1) * n]
+        return out
+
+    ew, h, hid = spec.ew, spec.h, spec.hidden
+    grads = {}
+    if spec.gated:
+        grads["attention_gates"] = {
+            "kernel": fold_bd(dw["wg"], ew, h), "bias": fold_t(dw["bg"], h)}
+    grads["dense_edge_b"] = {
+        "kernel": fold_bd(dw["wb"], ew, h), "bias": fold_t(dw["bb"], h)}
+    grads["norm_edge"] = {
+        "gamma": fold_t(dw["g1"], ew), "beta": fold_t(dw["b1ln"], ew)}
+    grads["dense_edge_r"] = {
+        "kernel": fold_bd(dw["wr"], h, ew), "bias": fold_t(dw["br"], ew)}
+    grads["edge_ffn"] = {
+        "norm": {"gamma": fold_t(dw["g2"], ew), "beta": fold_t(dw["b2ln"], ew)},
+        "lr1": {"kernel": fold_bd(dw["w1"], ew, hid),
+                "bias": fold_t(dw["bb1"], hid)},
+        "lr2": {"kernel": fold_bd(dw["w2"], hid, ew),
+                "bias": fold_t(dw["bb2"], ew)},
+    }
+    return grads
+
+
+def fused_layer_apply(p_layer, cfg, e, qkv, node_mask, attn_mask, training,
+                      rng):
+    """Run the fused layer core. `e` is (b, l, l, ew); `qkv` is the (b, l,
+    3*d*h) projection of the LN'd node stream. Returns (e_out, v_att) with
+    v_att (b, l, d*h).
+
+    The surrounding code keeps the node-stream ops (QKV/out/node-FFN denses) in
+    XLA — they are (b, l, w)-sized and fuse well there.
+    """
+    b, l, _, ew = e.shape
+    spec = make_spec(cfg, l, training)
+    dt = e.dtype
+
+    # flatten + pre-transpose the small per-graph operands in XLA
+    f = qkv.shape[-1]
+    d = f // (3 * spec.h)
+    qkv_m = qkv.reshape(b, l, 3, d * spec.h)
+    q = qkv_m[:, :, 0].reshape(b * l, spec.dh)
+    k = qkv_m[:, :, 1]
+    kt = jnp.swapaxes(k, 1, 2).reshape(b * spec.dh, l)
+    v = qkv_m[:, :, 2].reshape(b * l, spec.dh)
+
+    e2, _ = pack_edge(e, spec.p)
+    mask = (jnp.ones((b, l), jnp.float32) if node_mask is None
+            else node_mask.astype(jnp.float32).reshape(b, l))
+    am = None
+    if spec.constrained:
+        am = attn_mask.astype(jnp.float32).reshape(b * l, l)
+
+    if rng is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    else:
+        seed = jax.random.randint(rng, (1,), 0, 2**31 - 1, dtype=jnp.int32)
+
+    w = pack_params(p_layer, spec, dt)
+    wtuple = tuple(w[k] if w[k] is not None else jnp.zeros((1, 1), dt)
+                   for k in _W_KEYS)
+    e2_out, v_att = _fused_layer(spec, seed, e2, q, kt, v, mask, am, wtuple)
+    e_out = unpack_edge(e2_out, b, l, ew)
+    return e_out, v_att.reshape(b, l, spec.dh)

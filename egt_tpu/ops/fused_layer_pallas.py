@@ -157,9 +157,18 @@ def _uniform_from_bits(shape):
     return pltpu.bitcast(fbits, jnp.float32) - 1.0
 
 
-def _make_uniform(seed_ref):
+def _needs_rng(spec: LayerSpec) -> bool:
+    return spec.training and (spec.random_mask_prob > 0.0
+                              or spec.attn_dropout > 0.0)
+
+
+def _make_uniform(seed_ref, needed: bool = True):
     """Per-program uniform sampler; fwd and bwd re-seed identically. The linear
-    program encoding g*n_ib + ib is collision-free by construction."""
+    program encoding g*n_ib + ib is collision-free by construction. Seeding
+    costs real per-program time on v5e, so it is skipped entirely when no
+    stochastic draw will happen."""
+    if not needed:
+        return None
     g = pl.program_id(0)
     ib = pl.program_id(1)
     if _interpret():
@@ -364,7 +373,7 @@ def _fwd_kernel(spec: LayerSpec, seed_ref, *refs):
     vatt_ref = next(it)
 
     dt = e2_ref.dtype
-    uniform = _make_uniform(seed_ref)
+    uniform = _make_uniform(seed_ref, _needs_rng(spec))
     bi, lp = spec.bi, spec.l // spec.p
     rows = bi * lp
     LH = spec.latt
@@ -446,11 +455,28 @@ def _bwd_kernel(spec: LayerSpec, seed_ref, *refs):
         dg2_ref, db2ln_ref, dw1_ref, dbb1_ref, dw2_ref, dbb2_ref]
 
     dt = e2_ref.dtype
-    uniform = _make_uniform(seed_ref)
+    uniform = _make_uniform(seed_ref, _needs_rng(spec))
     bi, lp = spec.bi, spec.l // spec.p
     rows = bi * lp
     LH = spec.latt
     h = spec.h
+
+    if _BWD_STUB == 9:   # IO-only: no compute at all
+        de2_ref[...] = e2_ref[...] + geout_ref[...]
+        dq_ref[...] = q_ref[...] + gvatt_ref[...]
+
+        @pl.when(pl.program_id(1) == 0)
+        def _():
+            dkt_ref[...] = kt_ref[...].astype(dkt_ref.dtype)
+            dvt_ref[...] = vt_ref[...].astype(dvt_ref.dtype)
+
+        @pl.when(jnp.logical_and(pl.program_id(0) == 0,
+                                 pl.program_id(1) == 0))
+        def _():
+            for ref, acc in zip(wgrad_refs, accs):
+                acc[...] = jnp.zeros_like(acc)
+                ref[...] = jnp.zeros_like(ref)
+        return
 
     # ---- recompute forward
     e2f = e2_ref[...].astype(jnp.float32)
@@ -668,7 +694,10 @@ def _bwd_kernel(spec: LayerSpec, seed_ref, *refs):
             jnp.sum(g_out, axis=0)[None],                            # dbb2
         ]
         for acc, val in zip(accs, vals):
-            acc[...] += val
+            if val.shape[0] == acc.shape[0]:
+                acc[...] += val
+            else:                      # (1, c) bias grad into padded scratch
+                acc[0:1, :] += val
 
     last = jnp.logical_and(pl.program_id(0) == pl.num_programs(0) - 1,
                            pl.program_id(1) == pl.num_programs(1) - 1)
@@ -828,9 +857,13 @@ def _fused_layer_bwd_call(spec: LayerSpec, seed, e2, q, kt, v, mask, amask, w,
     for mk, vk in ordered:
         for wkey in (mk, vk):
             shp = w[wkey].shape
-            out_shape.append(jax.ShapeDtypeStruct(shp, f32))
-            out_specs.append(_const_spec(shp))
-            scratch_shapes.append(pltpu.VMEM(shp, f32))
+            # single-row (bias/LN) grads are padded to 8 sublanes: (1, c)
+            # output blocks measurably poison the Mosaic pipeline when the
+            # kernel also seeds the PRNG (~1.2 us/program on v5e)
+            pshp = (max(shp[0], 8),) + shp[1:]
+            out_shape.append(jax.ShapeDtypeStruct(pshp, f32))
+            out_specs.append(_const_spec(pshp))
+            scratch_shapes.append(pltpu.VMEM(pshp, f32))
 
     grid = (b, n_ib)
     kernel = functools.partial(_bwd_kernel, spec)
@@ -851,8 +884,8 @@ def _fused_layer_bwd_call(spec: LayerSpec, seed, e2, q, kt, v, mask, amask, w,
     dw = {}
     i = 4
     for mk, vk in ordered:
-        dw[mk] = outs[i]
-        dw[vk] = outs[i + 1]
+        dw[mk] = outs[i][:w[mk].shape[0]]       # undo the 8-sublane padding
+        dw[vk] = outs[i + 1][:w[vk].shape[0]]
         i += 2
     return de2, dq, dkt, dv, dw
 

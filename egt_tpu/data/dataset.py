@@ -300,9 +300,7 @@ class GraphDataset:
         elif self.pe == "eig":
             pe_out = np.zeros((b, L, self.num_features), np.float32)
 
-        multi_int_edges = (spec.edge_feat_kind == "int"
-                           and spec.edge_feat_dim is not None)
-        use_native = native.available() and nb > 0 and not multi_int_edges
+        use_native = native.available() and nb > 0
         if use_native:
             # C++ assembler (egt_tpu/native): all O(B*E) dense scatters in one
             # OpenMP pass; semantics identical to the numpy path below.
@@ -310,7 +308,15 @@ class GraphDataset:
                                       data["edges_flat"], data["edges_off"],
                                       L, gm)
             if fm is not None:
-                if spec.edge_feat_kind == "int":
+                if spec.edge_feat_kind == "int" \
+                        and spec.edge_feat_dim is not None:
+                    # multi-column tokens (PCQM4Mv2 bond features, (E, F) int)
+                    native.assemble_feature_matrix_i32_multi(
+                        sel, data["edges_flat"], data["edges_off"],
+                        data["edge_features_flat"].reshape(
+                            -1, spec.edge_feat_dim),
+                        data["edge_features_off"], spec.edge_feat_dim, L, fm)
+                elif spec.edge_feat_kind == "int":
                     native.assemble_feature_matrix_i32(
                         sel, data["edges_flat"], data["edges_off"],
                         data["edge_features_flat"], data["edge_features_off"],
@@ -397,15 +403,23 @@ class GraphDataset:
         return mx is not None and mx < 127
 
     def _token_max(self, which: str):
+        """Max token id over the ALREADY-CACHED splits only: forcing every
+        split (incl. test) to load at first training batch would front-load
+        minutes of featurization; int8 compression is validated per batch by
+        the <127 bound anyway, and any split cached later just reuses the
+        conservative answer."""
         cache = getattr(self, "_token_max_cache", None)
         if cache is None:
             cache = self._token_max_cache = {}
         if which not in cache:
             key = "node_features_flat" if which == "node" \
                 else "edge_features_flat"
+            loaded = [s for s in self.splits if s in self._cache]
+            if not loaded:
+                return None  # nothing cached yet; decide later
             mx = 0
-            for s in self.splits:
-                data = self.ensure_cache(s)
+            for s in loaded:
+                data = self._cache[s]
                 if key not in data:
                     cache[which] = None
                     return None

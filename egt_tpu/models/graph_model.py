@@ -107,7 +107,8 @@ class GraphModelConfig:
     use_node_embeddings: bool = False     # TSP ablation pairwise-cat readout
     mask_value: float = -1.0
     # TPU execution knobs (no reference equivalent)
-    fused_attention: bool = False         # Pallas kernel (ops/egt_pallas.py)
+    fused_attention: bool | str = False   # Pallas kernel (ops/egt_pallas.py);
+    #   True | False | "auto" (per-traced-shape l>=256 crossover)
     fused_edge_block: bool = False        # Pallas kernel (ops/edge_block_pallas.py)
     fused_layer: bool = False             # whole-layer Pallas megakernel
     #   (ops/fused_layer_pallas.py); subsumes the two kernels above for the

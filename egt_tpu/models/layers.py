@@ -178,12 +178,21 @@ def sp_dropout_rows(x_rows, rate: float, training: bool, rng, sp: SPContext):
 # ------------------------------------------------------------------ attention block
 
 
+def _auto_fused(cfg, l: int) -> bool:
+    """Resolve fused_attention per TRACED shape: with length buckets each pad
+    length compiles its own program, so small buckets keep the einsum path
+    even when the dataset-wide max crosses the kernel's l>=256 crossover."""
+    if cfg.fused_attention == "auto":
+        return l >= 256
+    return bool(cfg.fused_attention)
+
+
 def _attention(p, cfg, h_n, e_bias_raw, gates_raw, node_mask, edge_mask,
                training, rng, sp: SPContext | None, capture: bool):
     """QKV projection + EGT attention. `e_bias_raw`/`gates_raw` are the (b, l_q, l, h)
     projections (row-local under sp); `edge_mask` is (b, l_q, l) head-shared or None.
     Returns (v_att (b, l_q, d*h), h_hat, a_tild)."""
-    use_fused = cfg.fused_attention and sp is None and not capture
+    use_fused = _auto_fused(cfg, h_n.shape[1]) and sp is None and not capture
     kw = dict(
         clip_logits_value=(tuple(cfg.clip_logits_value)
                            if cfg.clip_logits_value is not None else None),

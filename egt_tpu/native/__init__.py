@@ -58,6 +58,8 @@ def _load():
         _i64p, _ll, _i64p, _i64p, _i32p, _i64p, _ll, _i32p]
     lib.assemble_feature_matrix_f32.argtypes = [
         _i64p, _ll, _i64p, _i64p, _f32p, _i64p, _ll, _ll, _f32p]
+    lib.assemble_feature_matrix_i32_multi.argtypes = [
+        _i64p, _ll, _i64p, _i64p, _i32p, _i64p, _ll, _ll, _i32p]
     lib.assemble_edge_targets.argtypes = [
         _i64p, _ll, _i64p, _i64p, _i32p, _i64p, _ll, _i32p]
     _lib = lib
@@ -93,6 +95,16 @@ def assemble_feature_matrix_f32(sel, edges_flat, edges_off, feat_flat, feat_off,
         np.ascontiguousarray(edges_flat, np.int64),
         np.ascontiguousarray(edges_off, np.int64),
         np.ascontiguousarray(feat_flat, np.float32),
+        np.ascontiguousarray(feat_off, np.int64), F, L, fm_out)
+
+
+def assemble_feature_matrix_i32_multi(sel, edges_flat, edges_off, feat_flat,
+                                      feat_off, F, L, fm_out):
+    _load().assemble_feature_matrix_i32_multi(
+        np.ascontiguousarray(sel, np.int64), len(sel),
+        np.ascontiguousarray(edges_flat, np.int64),
+        np.ascontiguousarray(edges_off, np.int64),
+        np.ascontiguousarray(feat_flat, np.int32),
         np.ascontiguousarray(feat_off, np.int64), F, L, fm_out)
 
 

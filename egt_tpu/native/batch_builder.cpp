@@ -82,6 +82,30 @@ void assemble_feature_matrix_f32(
   }
 }
 
+// Multi-column integer edge features (e.g. PCQM4Mv2's 3 bond columns):
+// out (nb, L, L, F) pre-filled -1; each real cell gets feat + 1 per column
+// (duplicate edges sum, as in tf.scatter_nd).
+void assemble_feature_matrix_i32_multi(
+    const int64_t* sel, int64_t nb,
+    const int64_t* edges_flat, const int64_t* edges_off,
+    const int32_t* feat_flat, const int64_t* feat_off, int64_t F,
+    int64_t L,
+    int32_t* fm_out) {
+#pragma omp parallel for schedule(static)
+  for (int64_t j = 0; j < nb; ++j) {
+    const int64_t rec = sel[j];
+    int32_t* fm = fm_out + j * L * L * F;
+    const int64_t e0 = edges_off[rec], e1 = edges_off[rec + 1];
+    const int64_t f0 = feat_off[rec];
+    for (int64_t e = e0; e < e1; ++e) {
+      const int64_t s = edges_flat[2 * e], d = edges_flat[2 * e + 1];
+      int32_t* cell = fm + (s * L + d) * F;
+      const int32_t* feat = feat_flat + (f0 + (e - e0)) * F;
+      for (int64_t f = 0; f < F; ++f) cell[f] += feat[f] + 1;
+    }
+  }
+}
+
 // Edge-label target matrix: out (nb, L, L) pre-zeroed; labels scatter-add
 // (`datasets/tsp.py:117-121` FeatureMatrix without the +-1 shift).
 void assemble_edge_targets(

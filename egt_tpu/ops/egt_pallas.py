@@ -90,8 +90,10 @@ def _make_uniform(seed_ref):
         def uniform(shape, idx):
             return jax.random.uniform(jax.random.fold_in(base, idx), shape)
     else:
-        pltpu.prng_seed(seed_ref[0] + b_idx * 8191 + h_idx * 131071
-                        + q_idx * 524287)
+        # collision-free linear program encoding (a prime-weighted sum can
+        # collide for distinct (b, h, q) triples)
+        flat = (b_idx * pl.num_programs(1) + h_idx) * pl.num_programs(2) + q_idx
+        pltpu.prng_seed(seed_ref[0] + flat)
 
         def uniform(shape, idx):
             del idx  # hardware PRNG draws sequentially in a fixed order

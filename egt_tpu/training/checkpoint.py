@@ -110,6 +110,13 @@ class TrainCheckpointer:
         self.manager.wait_until_finished()
         with open(self.directory / f"train_state_{step}.json", "w") as fp:
             json.dump(train_state, fp)
+        # orbax keeps max_to_keep=1 — prune the matching JSON sidecars too
+        for old in self.directory.glob("train_state_*.json"):
+            if old.name != f"train_state_{step}.json":
+                try:
+                    old.unlink()
+                except OSError:
+                    pass
 
     def latest_step(self):
         return self.manager.latest_step()

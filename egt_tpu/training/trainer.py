@@ -20,6 +20,7 @@ Run directory (mirrors `training_base.py:183-190,220-224,315-319`):
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
@@ -168,9 +169,40 @@ class TrainingBase:
         self.splits = list(splits)
         self.pad_len = self.dataset.pad_length(self.splits)
 
+    def _group_batches(self, src, K: int, bsh_k):
+        """Yield ('single', device_batch) or ('multi', stacked_device_batch):
+        groups of K SAME-SHAPE host batches become one transfer + one
+        dispatch; shape changes (length buckets) and remainders fall back to
+        the single-step program. Shared by the train and eval loops."""
+        group, gshape = [], None
+
+        def flush_single(items):
+            for b in items:
+                yield "single", meshlib.put_global_batch(b, self.mesh)
+
+        for b in src:
+            if K == 1:
+                yield "single", meshlib.put_global_batch(b, self.mesh)
+                continue
+            bshape = tuple(sorted((k, v.shape) for k, v in b.items()))
+            if group and bshape != gshape:
+                yield from flush_single(group)
+                group = []
+            group.append(b)
+            gshape = bshape
+            if len(group) == K:
+                stacked = {k: np.stack([g[k] for g in group])
+                           for k in group[0]}
+                yield "multi", jax.device_put(stacked, bsh_k)
+                group = []
+        yield from flush_single(group)
+
     def _batches(self, split: str, shuffle: bool, epoch: int = 0):
-        bmult = self.config.prediction_bmult if (self.eval_flag or self.pred_flag) \
-            else 1
+        # the reference loads val/test data with batch_size*prediction_bmult
+        # at LOAD time (`training_base.py:202-204`), so in-training validation
+        # also runs at the bigger batch — not just explicit eval/predict runs
+        bmult = self.config.prediction_bmult \
+            if (split != "training" or self.eval_flag or self.pred_flag) else 1
         bs = self.config.batch_size * bmult
         return self.dataset.batches(
             split, bs, shuffle=shuffle, seed=self.config.seed, epoch=epoch,
@@ -182,12 +214,9 @@ class TrainingBase:
         cfg = self.get_model_config()
         cfg.max_length = self.pad_len
         up = self.config.use_pallas
-        if up == "auto":
-            # measured crossover: the fused kernel wins for large graphs
-            # (l >= ~256, e.g. TSP); the XLA einsum path wins at molecular scale
-            cfg.fused_attention = self.pad_len >= 256
-        else:
-            cfg.fused_attention = bool(up)
+        # 'auto' is resolved per traced shape inside the model (measured
+        # crossover l >= ~256), so length buckets each pick their best path
+        cfg.fused_attention = "auto" if up == "auto" else bool(up)
         cfg.fused_edge_block = bool(self.config.use_pallas_edge)
         cfg.compute_dtype = self.config.compute_dtype
         cfg.remat = bool(self.config.remat)
@@ -430,9 +459,11 @@ class TrainingBase:
         self._tb = None
         if self.config.log_tensorboard:
             try:
-                from torch.utils.tensorboard import SummaryWriter
-                self._tb = SummaryWriter(log_dir=self.config.log_path)
-            except Exception as e:  # tensorboard optional
+                # dependency-free scalar event writer (utils/tbevents.py) —
+                # no torch/TF needed for a TensorBoard-readable log
+                from ..utils.tbevents import EventWriter
+                self._tb = EventWriter(self.config.log_path)
+            except Exception as e:
                 print(f"TensorBoard writer unavailable ({e}); using JSONL only",
                       flush=True)
 
@@ -444,6 +475,7 @@ class TrainingBase:
             for k, v in logs.items():
                 if isinstance(v, (int, float)):
                     self._tb.add_scalar(k, v, epoch)
+            self._tb.flush()
 
     def train_model(self):
         cfg = self.config
@@ -472,34 +504,11 @@ class TrainingBase:
         bsh_k = NamedSharding(self.mesh, P(None, meshlib.DATA_AXIS))
 
         def feed(epoch):
-            """Yield ('single', device_batch) or ('multi', stacked_device_batch)
-            groups of K steps — one transfer + one dispatch per group. Only
-            same-shape batches group together (length buckets vary shapes)."""
             src = self._batches("training", shuffle=True, epoch=epoch)
             if cfg.steps_per_epoch:
                 import itertools
                 src = itertools.islice(src, cfg.steps_per_epoch)
-            group, gshape = [], None
-            def flush_single(items):
-                for b in items:
-                    yield "single", meshlib.put_global_batch(b, self.mesh)
-            for b in src:
-                if K == 1:
-                    yield "single", meshlib.put_global_batch(b, self.mesh)
-                    continue
-                bshape = tuple(sorted((k, v.shape) for k, v in b.items()))
-                if group and bshape != gshape:
-                    yield from flush_single(group)
-                    group = []
-                group.append(b)
-                gshape = bshape
-                if len(group) == K:
-                    stacked = {k: np.stack([g[k] for g in group])
-                               for k in group[0]}
-                    yield "multi", jax.device_put(stacked, bsh_k)
-                    group = []
-            # remainder runs through the single-step program
-            yield from flush_single(group)
+            return self._group_batches(src, K, bsh_k)
 
         stop = False
         epoch = state["current_epoch"]
@@ -626,25 +635,7 @@ class TrainingBase:
             if max_steps:
                 import itertools
                 src = itertools.islice(src, max_steps)
-            group, gshape = [], None
-            for b in src:
-                if K == 1:
-                    yield "single", meshlib.put_global_batch(b, self.mesh)
-                    continue
-                bshape = tuple(sorted((k, v.shape) for k, v in b.items()))
-                if group and bshape != gshape:
-                    for g in group:
-                        yield "single", meshlib.put_global_batch(g, self.mesh)
-                    group = []
-                group.append(b)
-                gshape = bshape
-                if len(group) == K:
-                    stacked = {k: np.stack([g[k] for g in group])
-                               for k in group[0]}
-                    yield "multi", jax.device_put(stacked, bsh_k)
-                    group = []
-            for b in group:
-                yield "single", meshlib.put_global_batch(b, self.mesh)
+            return self._group_batches(src, K, bsh_k)
 
         dev_acc = None
         for kind, dbatch in Prefetcher(feed()):
@@ -746,10 +737,14 @@ class TrainingBase:
         self.prepare_for_test()
         os.makedirs(self.config.predictions_path, exist_ok=True)
         dumps: dict[str, list] = {}
+        # jit once: analyze() is a pure re-run of the forward with capture
+        # enabled, and un-jitted tracing per batch is pathological for
+        # --max-batches > 1
+        analyze_jit = jax.jit(functools.partial(self.model.analyze))
         for i, batch in enumerate(self._batches(split, shuffle=False)):
             if i >= max_batches:
                 break
-            analysis = self.model.analyze(jax.device_get(self.params), batch)
+            analysis = analyze_jit(self.params, batch)
             for k, v in analysis.items():
                 if isinstance(v, (list, tuple)):
                     continue  # combine_layer_repr lists: not batchable here

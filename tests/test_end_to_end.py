@@ -101,10 +101,24 @@ def test_use_pallas_auto(workdir, tmp_path):
     scheme = import_scheme(cfg["scheme"])(cfg)
     scheme.load_data()
     scheme.load_model()
-    assert scheme.model_config.fused_attention is False  # ZINC pads to 40
-    scheme.pad_len = 512
-    scheme.load_model()
-    assert scheme.model_config.fused_attention is True
+    # 'auto' is now resolved per TRACED shape inside the model (bucket-safe),
+    # so the config carries the sentinel through
+    assert scheme.model_config.fused_attention == "auto"
+
+    from egt_tpu.models import layers as L
+
+    class _Probe:
+        fused_attention = "auto"
+
+    # the layer-level decision: einsum below the l>=256 crossover, kernel above
+    import numpy as np
+
+    class _T:  # minimal shape carrier
+        def __init__(self, l):
+            self.shape = (2, l, 16)
+
+    assert not L._auto_fused(_Probe(), _T(40).shape[1])
+    assert L._auto_fused(_Probe(), _T(512).shape[1])
 
 
 def test_multi_step_dispatch_matches_single(workdir, tmp_path):

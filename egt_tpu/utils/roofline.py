@@ -1,0 +1,108 @@
+"""Analytic FLOPs / HBM-traffic model for the EGT training step.
+
+Used by bench.py to report MFU and memory-bandwidth utilization next to raw
+graphs/s, and to derive a defensible baseline anchor for `vs_baseline`
+(the reference repo publishes no throughput numbers — BASELINE.md).
+
+Counting conventions:
+- A matmul of (m, k) @ (k, n) counts 2*m*k*n FLOPs.
+- The training step counts forward matmul FLOPs x3 (bwd does ~2x the fwd
+  matmul work: one grad-vs-activations and one grad-vs-weights GEMM each).
+- Traffic counts the quadratic (l^2-sized) tensors only — node-stream and
+  weight traffic is two orders of magnitude smaller at these shapes.
+
+v5e peak numbers (public): 394 TFLOP/s bf16 (197 f32), 819 GB/s HBM.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+V5E_PEAK_FLOPS_BF16 = 394e12
+V5E_PEAK_FLOPS_F32 = 197e12
+V5E_HBM_BYTES_PER_S = 819e9
+
+
+@dataclass
+class ShapeModel:
+    b: int            # batch
+    l: int            # padded nodes
+    w: int            # model width
+    ew: int           # edge width
+    h: int            # heads
+    height: int       # layers
+    ffn_mult: float = 2.0
+
+    # ------------------------------------------------------------------ FLOPs
+
+    def fwd_flops_per_graph(self) -> float:
+        l, w, ew, h = self.l, self.w, self.ew, self.h
+        hn = int(self.ffn_mult * w)
+        he = int(self.ffn_mult * ew)
+        per_layer = 0.0
+        # node stream: qkv, mha out, node FFN
+        per_layer += 2 * l * w * 3 * w
+        per_layer += 2 * l * w * w
+        per_layer += 2 * (l * w * hn + l * hn * w)
+        # attention: QK^T and AV over h heads of dim w/h
+        per_layer += 2 * 2 * l * l * w
+        # edge stream: gates + bias projections, dense_edge_r, edge FFN
+        per_layer += 2 * 2 * l * l * ew * h
+        per_layer += 2 * l * l * h * ew
+        per_layer += 2 * (l * l * ew * he + l * l * he * ew)
+        return per_layer * self.height
+
+    def train_flops_per_graph(self) -> float:
+        return 3.0 * self.fwd_flops_per_graph()
+
+    # ---------------------------------------------------------------- traffic
+
+    def min_train_hbm_bytes_per_graph(self, bytes_per_el: int = 2) -> float:
+        """LOWER BOUND: per layer the edge tensor must be read and written
+        once forward (e_in -> e_out) and its gradient read/written once
+        backward, plus one h_hat-sized save for the bwd; everything else can
+        in principle stay fused. Real XLA traffic is several x this."""
+        l, ew, h = self.l, self.ew, self.h
+        per_layer = (2 + 2) * l * l * ew * bytes_per_el \
+            + l * l * h * bytes_per_el
+        return per_layer * self.height
+
+    # ------------------------------------------------------------------ rates
+
+    def mfu(self, graphs_per_sec: float, dtype: str = "bfloat16") -> float:
+        peak = (V5E_PEAK_FLOPS_BF16 if dtype == "bfloat16"
+                else V5E_PEAK_FLOPS_F32)
+        return graphs_per_sec * self.train_flops_per_graph() / peak
+
+    def hbm_bw_util_lower_bound(self, graphs_per_sec: float) -> float:
+        return (graphs_per_sec * self.min_train_hbm_bytes_per_graph()
+                / V5E_HBM_BYTES_PER_S)
+
+
+def v100_tf2_baseline_graphs_per_sec(m: ShapeModel) -> float:
+    """Roofline-derived estimate of the TF2 reference on one V100 (fp32),
+    the hardware class the reference targets (`environment.yml` pins TF 2.x
+    CUDA builds; the paper's experiments are GPU-based).
+
+    The reference's layer materializes the unfused quadratic chain
+    (`egt_layers.py:57-143` + `graph_xformer_model_base.py:192-223,309-324`):
+    gates, edge bias, logits, clipped logits, masked logits, softmax,
+    sigmoid, their product, dropout mask+output, h_hat, dense_edge_r out,
+    FFN hidden (ffn_mult x ew) and output, plus residuals — ~14 l^2-sized
+    f32 tensor passes forward, roughly doubled by the backward tape reads
+    and grad writes => ~30 equivalent ew-width passes per layer per step.
+
+      traffic ~= 30 * l^2 * ew * 4B * height per graph
+      V100 HBM2 = 900 GB/s => traffic ceiling
+      fp32 compute ceiling = 15.7 TFLOP/s (never binding at these widths)
+
+    Keras/tf.data pipelines on dynamic graph batches typically attain
+    20-35% of the traffic roofline end to end (input pipeline, optimizer,
+    kernel-launch gaps); this uses 30%. For the flagship shape this lands
+    within ~2x of any plausible measurement — and since the reference
+    publishes no numbers, the derivation (not the constant) is the anchor.
+    """
+    traffic = 30.0 * m.l * m.l * m.ew * 4 * m.height
+    ceiling = 900e9 / traffic
+    compute_ceiling = 15.7e12 / m.train_flops_per_graph()
+    return 0.30 * min(ceiling, compute_ceiling)

@@ -89,3 +89,20 @@ def test_save_when_dsl(tmp_path):
     # missing log key -> ignored, no crash (reference NameError path)
     saved = sw.maybe_save("epoch", {"epoch": 9}, params)
     assert not saved
+
+
+def test_roofline_model_sanity():
+    """Analytic FLOP/traffic model: positive, quadratic in l, linear in depth."""
+    from egt_tpu.utils.roofline import ShapeModel, \
+        v100_tf2_baseline_graphs_per_sec
+
+    m = ShapeModel(b=128, l=40, w=64, ew=64, h=8, height=10)
+    m2 = ShapeModel(b=128, l=80, w=64, ew=64, h=8, height=10)
+    md = ShapeModel(b=128, l=40, w=64, ew=64, h=8, height=20)
+    f, f2, fd = (x.train_flops_per_graph() for x in (m, m2, md))
+    assert f > 0 and 3.3 < f2 / f < 4.1        # ~quadratic in l
+    assert abs(fd / f - 2.0) < 1e-6            # linear in depth
+    assert 0 < m.mfu(8500.0) < 0.5
+    assert 0 < m.hbm_bw_util_lower_bound(8500.0) < 1.0
+    # the derived baseline is in a sane band for a V100-class GPU
+    assert 500 < v100_tf2_baseline_graphs_per_sec(m) < 10000

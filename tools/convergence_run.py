@@ -42,12 +42,15 @@ BASE_500K = dict(
 def run_jax(args):
     from egt_tpu.training.schemes import import_scheme
 
+    corpus = os.path.splitext(os.path.basename(args.data))[0]
+    name = f"jax_{corpus}_s{args.seed}"
     cfg = dict(BASE_500K)
     cfg.update(
         distributed=False, num_epochs=args.epochs, seed=args.seed,
-        model_name=f"jax_s{args.seed}",
-        dataset_path=args.data, cache_dir=os.path.join(args.workdir, "cache"),
-        save_path=os.path.join(args.workdir, f"jax_s{args.seed}"),
+        model_name=name,
+        dataset_path=args.data,
+        cache_dir=os.path.join(args.workdir, f"cache_{corpus}"),
+        save_path=os.path.join(args.workdir, name),
         compute_dtype=args.dtype, use_pallas="auto",
     )
     scheme = import_scheme("zinc.svd")

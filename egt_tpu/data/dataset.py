@@ -225,8 +225,13 @@ class GraphDataset:
                 yield self._build_batch(data, sel, batch_size, pad_len)
             return
 
-        buckets = sorted(buckets)
+        # clip to what the data actually needs: drop buckets above the split's
+        # max graph size and cap the largest at that max (rounded to 8 for
+        # XLA-friendly shapes) — scheme-default buckets sized for the real
+        # datasets then do no harm on small fixtures
         max_needed = int(data["num_nodes"].max())
+        max_pad = min(max(buckets), -(-max_needed // 8) * 8)
+        buckets = sorted(b for b in buckets if b < max_pad) + [max_pad]
         if buckets[-1] < max_needed:
             raise ValueError(f"largest bucket {buckets[-1]} < max graph size "
                              f"{max_needed}")

@@ -429,30 +429,42 @@ def _bwd_kernel(spec: LayerSpec, seed_ref, *refs):
     g2_ref, b2ln_ref = next(it), next(it)
     w1_ref, bb1_ref = next(it), next(it)
     w2_ref, bb2_ref = next(it), next(it)
-    wgt_ref = next(it) if spec.gated else None   # transposed weights
-    wbt_ref = next(it)
-    wrt_ref = next(it)
-    w1t_ref = next(it)
-    w2t_ref = next(it)
+    if "wt" in _BWD_PRUNE:
+        wgt_ref = wbt_ref = wrt_ref = w1t_ref = w2t_ref = None
+    else:
+        wgt_ref = next(it) if spec.gated else None   # transposed weights
+        wbt_ref = next(it)
+        wrt_ref = next(it)
+        w1t_ref = next(it)
+        w2t_ref = next(it)
     geout_ref = next(it)
     gvatt_ref = next(it)
     # outputs
     de2_ref = next(it)
     dq_ref = next(it)
-    dkt_ref = next(it)
-    dvt_ref = next(it)
-    dwg_ref = next(it) if spec.gated else None
-    dbg_ref = next(it) if spec.gated else None
-    dwb_ref, dbb_ref = next(it), next(it)
-    dg1_ref, db1ln_ref = next(it), next(it)
-    dwr_ref, dbr_ref = next(it), next(it)
-    dg2_ref, db2ln_ref = next(it), next(it)
-    dw1_ref, dbb1_ref = next(it), next(it)
-    dw2_ref, dbb2_ref = next(it), next(it)
+    if "dktdvt" in _BWD_PRUNE:
+        dkt_ref = dvt_ref = None
+    else:
+        dkt_ref = next(it)
+        dvt_ref = next(it)
+    if "wgrads" in _BWD_PRUNE:
+        dwg_ref = dbg_ref = dwb_ref = dbb_ref = dg1_ref = db1ln_ref = None
+        dwr_ref = dbr_ref = dg2_ref = db2ln_ref = dw1_ref = dbb1_ref = None
+        dw2_ref = dbb2_ref = None
+    else:
+        dwg_ref = next(it) if spec.gated else None
+        dbg_ref = next(it) if spec.gated else None
+        dwb_ref, dbb_ref = next(it), next(it)
+        dg1_ref, db1ln_ref = next(it), next(it)
+        dwr_ref, dbr_ref = next(it), next(it)
+        dg2_ref, db2ln_ref = next(it), next(it)
+        dw1_ref, dbb1_ref = next(it), next(it)
+        dw2_ref, dbb2_ref = next(it), next(it)
     accs = list(it)   # VMEM scratch accumulators, one per weight-grad output
-    wgrad_refs = ([dwg_ref, dbg_ref] if spec.gated else []) + [
-        dwb_ref, dbb_ref, dg1_ref, db1ln_ref, dwr_ref, dbr_ref,
-        dg2_ref, db2ln_ref, dw1_ref, dbb1_ref, dw2_ref, dbb2_ref]
+    wgrad_refs = [] if "wgrads" in _BWD_PRUNE else \
+        (([dwg_ref, dbg_ref] if spec.gated else []) + [
+            dwb_ref, dbb_ref, dg1_ref, db1ln_ref, dwr_ref, dbr_ref,
+            dg2_ref, db2ln_ref, dw1_ref, dbb1_ref, dw2_ref, dbb2_ref])
 
     dt = e2_ref.dtype
     uniform = _make_uniform(seed_ref, _needs_rng(spec))
@@ -465,10 +477,11 @@ def _bwd_kernel(spec: LayerSpec, seed_ref, *refs):
         de2_ref[...] = e2_ref[...] + geout_ref[...]
         dq_ref[...] = q_ref[...] + gvatt_ref[...]
 
-        @pl.when(pl.program_id(1) == 0)
-        def _():
-            dkt_ref[...] = kt_ref[...].astype(dkt_ref.dtype)
-            dvt_ref[...] = vt_ref[...].astype(dvt_ref.dtype)
+        if dkt_ref is not None:
+            @pl.when(pl.program_id(1) == 0)
+            def _():
+                dkt_ref[...] = kt_ref[...].astype(dkt_ref.dtype)
+                dvt_ref[...] = vt_ref[...].astype(dvt_ref.dtype)
 
         @pl.when(jnp.logical_and(pl.program_id(0) == 0,
                                  pl.program_id(1) == 0))
@@ -827,10 +840,11 @@ def _fused_layer_bwd_call(spec: LayerSpec, seed, e2, q, kt, v, mask, amask, w,
     in_specs.insert(4, _graph_spec(dh, l))                       # vt
     wargs, wspecs = _weight_args(spec, w)
     wt_args, wt_specs = [], []
-    for key in ((["wg"] if spec.gated else []) + ["wb", "wr", "w1", "w2"]):
-        wt = jnp.swapaxes(w[key], 0, 1)
-        wt_args.append(wt)
-        wt_specs.append(_const_spec(wt.shape))
+    if "wt" not in _BWD_PRUNE:
+        for key in ((["wg"] if spec.gated else []) + ["wb", "wr", "w1", "w2"]):
+            wt = jnp.swapaxes(w[key], 0, 1)
+            wt_args.append(wt)
+            wt_specs.append(_const_spec(wt.shape))
     args = [e2, q, kt, k, vt, mask] + ([amask] if spec.constrained else []) \
         + wargs + wt_args + [g_eout, g_vatt]
     in_specs = in_specs + wspecs + wt_specs + [
@@ -840,20 +854,27 @@ def _fused_layer_bwd_call(spec: LayerSpec, seed, e2, q, kt, v, mask, amask, w,
     out_shape = [
         jax.ShapeDtypeStruct(e2.shape, dt),                      # de2
         jax.ShapeDtypeStruct((b * spec.l, spec.dh), dt),         # dq
-        jax.ShapeDtypeStruct((b * spec.dh, spec.l), f32),        # dkT
-        jax.ShapeDtypeStruct((b * spec.dh, spec.l), f32),        # dvT
     ]
     out_specs = [
         _row_spec(rows, PL, n_ib),
         _row_spec(spec.bi, spec.dh, n_ib),
-        _graph_spec(spec.dh, spec.l),
-        _graph_spec(spec.dh, spec.l),
     ]
+    if "dktdvt" not in _BWD_PRUNE:
+        out_shape += [
+            jax.ShapeDtypeStruct((b * spec.dh, spec.l), f32),    # dkT
+            jax.ShapeDtypeStruct((b * spec.dh, spec.l), f32),    # dvT
+        ]
+        out_specs += [
+            _graph_spec(spec.dh, spec.l),
+            _graph_spec(spec.dh, spec.l),
+        ]
     # grad-output order must match the kernel's ref unpack order (gated first)
     ordered = ([("wg", "bg")] if spec.gated else []) + \
         [("wb", "bb"), ("g1", "b1ln"), ("wr", "br"), ("g2", "b2ln"),
          ("w1", "bb1"), ("w2", "bb2")]
     scratch_shapes = []
+    if "wgrads" in _BWD_PRUNE:
+        ordered = []
     for mk, vk in ordered:
         for wkey in (mk, vk):
             shp = w[wkey].shape
@@ -878,11 +899,20 @@ def _fused_layer_bwd_call(spec: LayerSpec, seed, e2, q, kt, v, mask, amask, w,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(seed, *args)
+    if "dktdvt" in _BWD_PRUNE:
+        outs = list(outs)
+        z = jnp.zeros((b * spec.dh, spec.l), f32)
+        outs[2:2] = [z, z]
     de2, dq, dkt, dvt = outs[:4]
     # dvT (b*dh, l) -> dv (b*l, dh): small XLA transpose
     dv = jnp.swapaxes(dvt.reshape(b, dh, l), 1, 2).reshape(b * l, dh)
     dw = {}
     i = 4
+    if "wgrads" in _BWD_PRUNE:
+        for kk in _W_KEYS:
+            if w[kk] is not None:
+                dw[kk] = jnp.zeros(w[kk].shape, f32)
+        ordered = []
     for mk, vk in ordered:
         dw[mk] = outs[i][:w[mk].shape[0]]       # undo the 8-sublane padding
         dw[vk] = outs[i + 1][:w[vk].shape[0]]
@@ -931,6 +961,7 @@ _fused_layer.defvjp(_fused_layer_fwd, _fused_layer_bwd)
 _P_CAP = None  # test/tuning override for the pack factor
 _SKIP_WGRADS = False  # timing diagnostic: skip weight-grad accumulation
 _BWD_STUB = 0  # bisection: 1=recompute 2=+ffn-bwd 3=+attn-bwd 0=full
+_BWD_PRUNE = set()  # diagnostic: {'wt','wgrads','kvt','dktdvt','weights'}
 
 
 def pick_pack(ew: int, l: int, h: int) -> int:

@@ -18,6 +18,9 @@ class ClusterSchemeMixin(PatternSchemeMixin):
     def get_default_config(self) -> HParams:
         c = super().get_default_config()
         c.update(
+            # fast-path default: SBM graphs vary ~40..190 nodes; two static
+            # bucket shapes instead of padding everything to the global max
+            length_buckets=[128, 192],
             dataset_name="sbm_cluster",
             class_sizes=[19695, 19222, 19559, 19417, 19801, 20139],
         )

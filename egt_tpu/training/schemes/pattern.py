@@ -22,6 +22,9 @@ class PatternSchemeMixin:
     def get_default_config(self) -> HParams:
         c = super().get_default_config()
         c.update(
+            # fast-path default: SBM graphs vary ~40..190 nodes; two static
+            # bucket shapes instead of padding everything to the global max
+            length_buckets=[128, 192],
             dataset_name="sbm_pattern",
             class_sizes=[979220, 209900],
             rlr_monitor="val_xent",

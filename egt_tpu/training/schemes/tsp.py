@@ -32,6 +32,10 @@ class TspSchemeMixin:
             include_xpose=True,   # accepted-but-unforwarded, as in the reference
             save_best_monitor="val_xent",
             rlr_monitor="val_xent",
+            # fast-path default: TSP graphs span ~50..500 nodes; bucketed
+            # padding replaces the reference's per-batch dynamic padding
+            # (`dataset_base.py:100-111`) with a handful of static shapes
+            length_buckets=[128, 256, 512],
         )
         return c
 

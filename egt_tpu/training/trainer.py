@@ -124,8 +124,14 @@ class TrainingBase:
             optimizer="adam",
             # --- TPU-native extensions (not in the reference config surface)
             seed=42,
-            compute_dtype="float32",     # 'float32' | 'bfloat16'
-            use_pallas=False,            # fused attention kernel; True|False|"auto"
+            # TPU fast path ON by default (VERDICT r1 item 3): bf16 compute
+            # with f32 islands is validated convergence-neutral at the real
+            # egt_spe_500k recipe (synthetic-molecular campaign: best val MAE
+            # 0.0626/0.0633 over 2 seeds vs the TF reference's 0.0632 on the
+            # same corpus — DESIGN_NOTES "Round-2 convergence"); 'auto'
+            # resolves the attention kernel per traced shape
+            compute_dtype="bfloat16",    # 'float32' | 'bfloat16'
+            use_pallas="auto",           # fused attention kernel; True|False|"auto"
             use_pallas_edge=False,       # fused edge block (ops/edge_block_pallas.py)
             num_devices=None,            # limit the mesh; None = all local devices
             reload_on_nan=False,         # reference `relod_on_nan` capability

@@ -23,6 +23,9 @@ def _cfg(d, name, **kw):
         "use_svd": False,
         "upto_hop": 2,
         "log_tensorboard": False,
+        # this test pins SHARDING equivalence to tight tolerances; the bf16
+        # engine default would add dtype noise orthogonal to what it checks
+        "compute_dtype": "float32",
     }
     cfg.update(kw)
     return cfg

@@ -107,7 +107,41 @@ def main():
     ap.add_argument("--paths", default="xla,attn,edge,layer")
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--eval", action="store_true", help="time eval (no bwd/opt)")
+    ap.add_argument("--matrix", metavar="OUT.json",
+                    help="sweep every SHAPES x --paths combination and write "
+                    "the crossover matrix as JSON (drives the 'auto' "
+                    "kernel-selection thresholds)")
     args = ap.parse_args()
+
+    if args.matrix:
+        import json
+        rows = []
+        for sname, shape in SHAPES.items():
+            for path in args.paths.split(","):
+                try:
+                    step, params, opt, batch = build(shape, args.dtype, path,
+                                                     training=not args.eval)
+                    dt, comp, loss = timeit(step, params, opt, batch,
+                                            iters=args.iters)
+                    row = {"shape": sname, "path": path, "dtype": args.dtype,
+                           "ms_per_step": round(dt * 1e3, 3),
+                           "graphs_per_sec": round(shape[0] / dt, 1),
+                           "compile_s": round(comp, 1)}
+                except Exception as e:
+                    row = {"shape": sname, "path": path,
+                           "error": f"{type(e).__name__}: {e}"}
+                rows.append(row)
+                print(row, file=sys.stderr, flush=True)
+        for sname in SHAPES:
+            ok = [r for r in rows if r["shape"] == sname and "error" not in r]
+            if ok:
+                best = min(ok, key=lambda r: r["ms_per_step"])
+                best["best_for_shape"] = True
+        with open(args.matrix, "w") as fp:
+            json.dump(rows, fp, indent=1)
+        print(f"matrix written to {args.matrix}", file=sys.stderr)
+        return
+
     shape = SHAPES[args.shape]
     b = shape[0]
     print(f"shape={args.shape} {shape} dtype={args.dtype}", file=sys.stderr)

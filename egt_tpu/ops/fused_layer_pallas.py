@@ -417,8 +417,7 @@ def _bwd_kernel(spec: LayerSpec, seed_ref, *refs):
     e2_ref = next(it)
     q_ref = next(it)
     kt_ref = next(it)
-    k_ref = next(it)                 # (l, dh) — for the no-transpose dq path
-    vt_ref = next(it)                # (dh, l) — for the no-transpose da path
+    v_ref = next(it)                 # (l, dh); transposed in-kernel where needed
     mask_ref = next(it)
     amask_ref = next(it) if spec.constrained else None
     wg_ref = next(it) if spec.gated else None
@@ -437,8 +436,11 @@ def _bwd_kernel(spec: LayerSpec, seed_ref, *refs):
         wrt_ref = next(it)
         w1t_ref = next(it)
         w2t_ref = next(it)
-    geout_ref = next(it)
-    gvatt_ref = next(it)
+    if "gout" in _BWD_PRUNE:
+        geout_ref = gvatt_ref = None
+    else:
+        geout_ref = next(it)
+        gvatt_ref = next(it)
     # outputs
     de2_ref = next(it)
     dq_ref = next(it)
@@ -473,6 +475,26 @@ def _bwd_kernel(spec: LayerSpec, seed_ref, *refs):
     LH = spec.latt
     h = spec.h
 
+    if _BWD_STUB == 10:  # minimal: mirrors the fwd call's IO exactly
+        de2_ref[...] = e2_ref[...]
+        dq_ref[...] = q_ref[...]
+        if geout_ref is not None:
+            de2_ref[...] += geout_ref[...]
+            dq_ref[...] += gvatt_ref[...]
+
+        @pl.when(jnp.logical_and(pl.program_id(0) == 0,
+                                 pl.program_id(1) == 0))
+        def _():
+            for ref, acc in zip(wgrad_refs, accs):
+                acc[...] = jnp.zeros_like(acc)
+                ref[...] = jnp.zeros_like(ref)
+        if dkt_ref is not None:
+            @pl.when(pl.program_id(1) == 0)
+            def _():
+                dkt_ref[...] = kt_ref[...].astype(dkt_ref.dtype)
+                dvt_ref[...] = kt_ref[...].astype(dvt_ref.dtype)
+        return
+
     if _BWD_STUB == 9:   # IO-only: no compute at all
         de2_ref[...] = e2_ref[...] + geout_ref[...]
         dq_ref[...] = q_ref[...] + gvatt_ref[...]
@@ -481,7 +503,7 @@ def _bwd_kernel(spec: LayerSpec, seed_ref, *refs):
             @pl.when(pl.program_id(1) == 0)
             def _():
                 dkt_ref[...] = kt_ref[...].astype(dkt_ref.dtype)
-                dvt_ref[...] = vt_ref[...].astype(dvt_ref.dtype)
+                dvt_ref[...] = kt_ref[...].astype(dvt_ref.dtype)
 
         @pl.when(jnp.logical_and(pl.program_id(0) == 0,
                                  pl.program_id(1) == 0))
@@ -583,7 +605,7 @@ def _bwd_kernel(spec: LayerSpec, seed_ref, *refs):
     dhh = dhh2.reshape(bi, LH)                                   # from edge tail
     gv = gvatt_ref[...].astype(dt)
     vbd_t = _head_mask((spec.dh, LH), h,
-                       _mm(vt_ref[...], sel.astype(dt), dt)).astype(dt)
+                       _mm(v_ref[...].T, sel.astype(dt), dt)).astype(dt)
     da_drop = _mm(gv, vbd_t, dt)                                 # (bi, LH)
 
     da = da_drop
@@ -611,7 +633,7 @@ def _bwd_kernel(spec: LayerSpec, seed_ref, *refs):
         ds_raw = dhh_total * spec.scale
     ds_dt = ds_raw.astype(dt)
     kbd_t = _head_mask((LH, spec.dh), h,
-                       _mm(sel_t.astype(dt), k_ref[...], dt)).astype(dt)
+                       _mm(sel_t.astype(dt), kt_ref[...].T, dt)).astype(dt)
     dq = _mm(ds_dt, kbd_t, dt)                                   # (bi, dh)
     qf_t = qf.T                                                  # tiny (dh, bi)
     dkbd = _head_mask((spec.dh, LH), h, _mm(qf_t, ds_dt, dt))
@@ -832,12 +854,8 @@ def _fused_layer_bwd_call(spec: LayerSpec, seed, e2, q, kt, v, mask, amask, w,
     dt = e2.dtype
     l, dh = spec.l, spec.dh
     in_specs, n_ib, rows, PL = _in_specs(spec, b)
-    # k (l, dh) and vT (dh, l): XLA-side transposes of the saved operands so
-    # every in-kernel attention matmul is standard-orientation
-    k = jnp.swapaxes(kt.reshape(b, dh, l), 1, 2).reshape(b * l, dh)
-    vt = jnp.swapaxes(v.reshape(b, l, dh), 1, 2).reshape(b * dh, l)
-    # specs[3] (l, dh) — built for v — now describes k; vt needs a new one
-    in_specs.insert(4, _graph_spec(dh, l))                       # vt
+    # kt/v ship exactly as the forward call's operands; the kernel makes the
+    # small (dh, l)-tile transposes it needs itself
     wargs, wspecs = _weight_args(spec, w)
     wt_args, wt_specs = [], []
     if "wt" not in _BWD_PRUNE:
@@ -845,10 +863,12 @@ def _fused_layer_bwd_call(spec: LayerSpec, seed, e2, q, kt, v, mask, amask, w,
             wt = jnp.swapaxes(w[key], 0, 1)
             wt_args.append(wt)
             wt_specs.append(_const_spec(wt.shape))
-    args = [e2, q, kt, k, vt, mask] + ([amask] if spec.constrained else []) \
-        + wargs + wt_args + [g_eout, g_vatt]
-    in_specs = in_specs + wspecs + wt_specs + [
+    gouts = [] if "gout" in _BWD_PRUNE else [g_eout, g_vatt]
+    gout_specs = [] if "gout" in _BWD_PRUNE else [
         _row_spec(rows, PL, n_ib), _row_spec(spec.bi, spec.dh, n_ib)]
+    args = [e2, q, kt, v, mask] + ([amask] if spec.constrained else []) \
+        + wargs + wt_args + gouts
+    in_specs = in_specs + wspecs + wt_specs + gout_specs
 
     f32 = jnp.float32
     out_shape = [

@@ -181,9 +181,12 @@ def sp_dropout_rows(x_rows, rate: float, training: bool, rng, sp: SPContext):
 def _auto_fused(cfg, l: int) -> bool:
     """Resolve fused_attention per TRACED shape: with length buckets each pad
     length compiles its own program, so small buckets keep the einsum path
-    even when the dataset-wide max crosses the kernel's l>=256 crossover."""
+    even when the dataset-wide max crosses the kernel's crossover. Threshold
+    from the measured matrix (CROSSOVER_MATRIX.json, v5e bf16 train step):
+    the kernel wins at PATTERN l=192 (+18%) and TSP l=512 (+10%), ties at
+    CIFAR l=160, loses below."""
     if cfg.fused_attention == "auto":
-        return l >= 256
+        return l >= 176
     return bool(cfg.fused_attention)
 
 

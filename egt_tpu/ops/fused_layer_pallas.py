@@ -747,13 +747,23 @@ def _bwd_kernel(spec: LayerSpec, seed_ref, *refs):
 
 
 def _pick_bi(spec_l, p, ew, h, dh) -> int:
-    """Query rows per program under the VMEM budget."""
+    """Query rows per program under the VMEM budget. Block sublane counts
+    (bi for q, bi*l/p for the packed edge rows) must be multiples of 8 on
+    TPU, so prefer divisors of l that are multiples of 8."""
     # packed edge-stream tiles (~7 live) + padded attention tiles (~8 live)
     per_i = spec_l * ew * 7 + (spec_l // p) * _LANES * 8 + 2 * dh
     max_bi = max(1, _VMEM_BUDGET_ELEMS // per_i)
     if spec_l <= max_bi:
         return spec_l
     for bi in range(min(max_bi, spec_l), 0, -1):
+        if spec_l % bi == 0 and bi % 8 == 0:
+            return bi
+    if spec_l % 8 == 0:
+        # long-graph shapes (e.g. TSP l=512): the nominal budget would pick
+        # bi < 8, violating the sublane rule — take 8; the 100 MB
+        # vmem_limit on the call still bounds the real allocation
+        return 8
+    for bi in range(min(max_bi, spec_l), 0, -1):  # interpret-mode fallback
         if spec_l % bi == 0:
             return bi
     return 1

@@ -129,6 +129,9 @@ class GraphDataset:
             np.savez(tmp, **data)
             os.replace(tmp, path)
         self._cache[split] = data
+        # a newly-loaded split can raise the max token id, so any previous
+        # int8-narrowing decision must be re-derived over all loaded splits
+        self._token_max_cache = None
         return data
 
     def _build_cache(self, split: str) -> dict:
@@ -395,10 +398,14 @@ class GraphDataset:
         out["graph_matrix"] = batch["graph_matrix"].astype(np.uint8)
         if spec.node_feat_kind == "int" and spec.node_feat_dim is None \
                 and self._int8_ok("node"):
-            out["node_features"] = batch["node_features"].astype(np.int8)
+            nf = batch["node_features"]
+            assert nf.size == 0 or nf.max() < 127, "int8 narrowing bound"
+            out["node_features"] = nf.astype(np.int8)
         if spec.edge_feat_kind == "int" and spec.edge_feat_dim is None \
                 and self._int8_ok("edge"):
-            out["feature_matrix"] = batch["feature_matrix"].astype(np.int8)
+            fm = batch["feature_matrix"]
+            assert fm.size == 0 or fm.max() < 127, "int8 narrowing bound"
+            out["feature_matrix"] = fm.astype(np.int8)
         if spec.target_kind == "edge_matrix":
             out["target"] = batch["target"].astype(np.int8)
         return out
@@ -408,11 +415,12 @@ class GraphDataset:
         return mx is not None and mx < 127
 
     def _token_max(self, which: str):
-        """Max token id over the ALREADY-CACHED splits only: forcing every
-        split (incl. test) to load at first training batch would front-load
-        minutes of featurization; int8 compression is validated per batch by
-        the <127 bound anyway, and any split cached later just reuses the
-        conservative answer."""
+        """Max token id over the splits loaded so far: forcing every split
+        (incl. test) to load at first training batch would front-load minutes
+        of featurization. `ensure_cache` invalidates this memo whenever a new
+        split loads, so the int8-ok decision is re-derived (a flip merely
+        changes the wire dtype, which the device upcasts anyway; `_compress`
+        additionally hard-asserts the <127 bound per narrowed batch)."""
         cache = getattr(self, "_token_max_cache", None)
         if cache is None:
             cache = self._token_max_cache = {}

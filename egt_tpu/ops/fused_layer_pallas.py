@@ -1039,6 +1039,8 @@ def can_fuse_layer(cfg, training: bool, sp, capture: bool, l: int) -> bool:
         return False  # the caller needs per-layer intermediate reprs
     if cfg.add_n_norm or cfg.edge_normalization != "layer":
         return False
+    if cfg.node_normalization != "layer":
+        return False  # fused path drops norm_mha BatchNorm stats updates
     if cfg.node2edge_xtalk > 0.0 or cfg.edge2node_xtalk > 0.0:
         return False
     if training and cfg.edge_dropout > 0.0:

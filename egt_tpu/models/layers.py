@@ -195,7 +195,7 @@ def _attention(p, cfg, h_n, e_bias_raw, gates_raw, node_mask, edge_mask,
     """QKV projection + EGT attention. `e_bias_raw`/`gates_raw` are the (b, l_q, l, h)
     projections (row-local under sp); `edge_mask` is (b, l_q, l) head-shared or None.
     Returns (v_att (b, l_q, d*h), h_hat, a_tild)."""
-    use_fused = _auto_fused(cfg, h_n.shape[1]) and sp is None and not capture
+    use_fused = _auto_fused(cfg, h_n.shape[1]) and not capture
     kw = dict(
         clip_logits_value=(tuple(cfg.clip_logits_value)
                            if cfg.clip_logits_value is not None else None),
@@ -207,6 +207,14 @@ def _attention(p, cfg, h_n, e_bias_raw, gates_raw, node_mask, edge_mask,
         training=training,
         rng=rng,
     )
+    if sp is not None and training and (cfg.random_mask_prob > 0
+                                        or cfg.attn_dropout > 0):
+        if sp.vn > 0:
+            raise NotImplementedError(
+                "stochastic attention with virtual nodes under edge "
+                "partitioning (replicated VN rows would diverge)")
+        # independent stochastic draws per row shard
+        kw["rng"] = fold_rng(rng, 613, sp.index)
 
     if use_fused:
         from ..ops.egt_pallas import egt_attention_fused
@@ -218,6 +226,9 @@ def _attention(p, cfg, h_n, e_bias_raw, gates_raw, node_mask, edge_mask,
         q = jnp.transpose(qkv_hm[:, :, 0], (0, 3, 1, 2))
         k = jnp.transpose(qkv_hm[:, :, 1], (0, 3, 1, 2))
         v = jnp.transpose(qkv_hm[:, :, 2], (0, 3, 1, 2))
+        if sp is not None:
+            # rectangular kernel: this shard's query rows, full K/V
+            q = sp_take_rows(q, sp, axis=2)
         e_hm = (None if e_bias_raw is None
                 else jnp.transpose(e_bias_raw, (0, 3, 1, 2)))
         g_hm = (None if gates_raw is None
@@ -225,7 +236,7 @@ def _attention(p, cfg, h_n, e_bias_raw, gates_raw, node_mask, edge_mask,
         out = egt_attention_fused(
             q, k, v, e_hm, g_hm, node_mask=node_mask, attn_mask_hm=edge_mask,
             **{k2: v2 for k2, v2 in kw.items()})
-        # h_hat back to (b, l, l, h) for the edge-stream Dense
+        # h_hat back to (b, l_q, l, h) for the edge-stream Dense
         h_hat = jnp.transpose(out.h_hat, (0, 2, 3, 1))
         return out.v_att, h_hat, None
 
@@ -233,13 +244,6 @@ def _attention(p, cfg, h_n, e_bias_raw, gates_raw, node_mask, edge_mask,
     q, k, v = split_qkv(qkv, cfg.num_heads)
     if sp is not None:
         q = sp_take_rows(q, sp)
-        if training and (cfg.random_mask_prob > 0 or cfg.attn_dropout > 0):
-            if sp.vn > 0:
-                raise NotImplementedError(
-                    "stochastic attention with virtual nodes under edge "
-                    "partitioning (replicated VN rows would diverge)")
-            # independent stochastic draws per row shard
-            kw["rng"] = fold_rng(rng, 613, sp.index)
     am = None if edge_mask is None else edge_mask[..., None]
     out = egt_attention_core(q, k, v, e_bias_raw, gates_raw,
                              node_mask=node_mask, attn_mask=am, **kw)

@@ -42,14 +42,15 @@ NEG_INF = -1e9
 _MAX_QL_ELEMS = 512 * 512
 
 
-def _pick_q_block(l: int) -> int:
-    max_qb = max(8, _MAX_QL_ELEMS // max(l, 1))
-    if l <= max_qb:
-        return l
+def _pick_q_block(lq: int, lk: int) -> int:
+    """Query-row block: divides lq; per-pair buffers are (qb, lk)."""
+    max_qb = max(8, _MAX_QL_ELEMS // max(lk, 1))
+    if lq <= max_qb:
+        return lq
     for qb in range(max_qb, 7, -1):
-        if l % qb == 0:
+        if lq % qb == 0:
             return qb
-    return l  # no suitable divisor: fall back to one block
+    return lq  # no suitable divisor: fall back to one block
 
 
 
@@ -291,21 +292,22 @@ def _bwd_kernel(seed_ref, *refs, gated, has_full_mask, clip_lo, clip_hi,
 # --------------------------------------------------------------------- dispatchers
 
 
-def _specs(l, d, qb):
-    """BlockSpecs for the (b, h, nq) grid."""
+def _specs(lk, d, qb):
+    """BlockSpecs for the (b, h, nq) grid. Queries may be a row shard (lq < lk,
+    edge partitioning): per-pair blocks are (qb, lk), K/V stay whole."""
     def bh(shape, index_map):
         return pl.BlockSpec((1, 1) + shape, index_map, memory_space=pltpu.VMEM)
 
     q_blk = bh((qb, d), lambda i, j, qi, *_: (i, j, qi, 0))
-    kv_full = bh((l, d), lambda i, j, qi, *_: (i, j, 0, 0))
-    ql_blk = bh((qb, l), lambda i, j, qi, *_: (i, j, qi, 0))
-    madd_spec = pl.BlockSpec((1, 1, l), lambda i, j, qi, *_: (i, 0, 0),
+    kv_full = bh((lk, d), lambda i, j, qi, *_: (i, j, 0, 0))
+    ql_blk = bh((qb, lk), lambda i, j, qi, *_: (i, j, qi, 0))
+    madd_spec = pl.BlockSpec((1, 1, lk), lambda i, j, qi, *_: (i, 0, 0),
                              memory_space=pltpu.VMEM)
-    maddf_spec = pl.BlockSpec((1, qb, l), lambda i, j, qi, *_: (i, qi, 0),
+    maddf_spec = pl.BlockSpec((1, qb, lk), lambda i, j, qi, *_: (i, qi, 0),
                               memory_space=pltpu.VMEM)
     deg_spec = pl.BlockSpec((1, 1, qb, 1), lambda i, j, qi, *_: (i, j, qi, 0),
                             memory_space=pltpu.VMEM)
-    kv_acc = bh((l, d), lambda i, j, qi, *_: (i, j, 0, 0))
+    kv_acc = bh((lk, d), lambda i, j, qi, *_: (i, j, 0, 0))
     return q_blk, kv_full, ql_blk, madd_spec, maddf_spec, deg_spec, kv_acc
 
 
@@ -327,13 +329,14 @@ def _egt_core(q, k, v, e, g, masks, seed, clip, random_mask_prob,
 def _egt_core_fwd(q, k, v, e, g, masks, seed, clip, random_mask_prob,
                   attn_dropout, training, gated):
     madd, maddf = masks
-    b, h, l, d = q.shape
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
     has_full_mask = maddf is not None
     clip_lo, clip_hi = (clip if clip is not None else (None, None))
     scale = d ** -0.5
-    qb = _pick_q_block(l)
+    qb = _pick_q_block(lq, lk)
 
-    q_blk, kv_full, ql_blk, madd_spec, maddf_spec, deg_spec, _ = _specs(l, d, qb)
+    q_blk, kv_full, ql_blk, madd_spec, maddf_spec, deg_spec, _ = _specs(lk, d, qb)
 
     in_specs = [q_blk, kv_full, kv_full, ql_blk]
     inputs = [q, k, v, e]
@@ -348,12 +351,12 @@ def _egt_core_fwd(q, k, v, e, g, masks, seed, clip, random_mask_prob,
 
     dt = q.dtype
     out_shape = [
-        jax.ShapeDtypeStruct((b, h, l, d), dt),
-        jax.ShapeDtypeStruct((b, h, l, l), dt),
+        jax.ShapeDtypeStruct((b, h, lq, d), dt),
+        jax.ShapeDtypeStruct((b, h, lq, lk), dt),
     ]
     out_specs = [q_blk, ql_blk]
     if gated:
-        out_shape.append(jax.ShapeDtypeStruct((b, h, l, 1), jnp.float32))
+        out_shape.append(jax.ShapeDtypeStruct((b, h, lq, 1), jnp.float32))
         out_specs.append(deg_spec)
 
     kernel = functools.partial(
@@ -363,7 +366,7 @@ def _egt_core_fwd(q, k, v, e, g, masks, seed, clip, random_mask_prob,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b, h, l // qb),
+        grid=(b, h, lq // qb),
         in_specs=in_specs,
         out_specs=out_specs,
     )
@@ -388,14 +391,15 @@ def _egt_core_bwd_impl(clip, random_mask_prob, attn_dropout, training, gated,
                        residuals, cotangents):
     q, k, v, g, madd, maddf, seed, h_hat = residuals
     gv, gh, gdeg = cotangents
-    b, h, l, d = q.shape
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
     has_full_mask = maddf is not None
     clip_lo, clip_hi = (clip if clip is not None else (None, None))
     scale = d ** -0.5
-    qb = _pick_q_block(l)
+    qb = _pick_q_block(lq, lk)
 
     q_blk, kv_full, ql_blk, madd_spec, maddf_spec, deg_spec, kv_acc = _specs(
-        l, d, qb)
+        lk, d, qb)
 
     in_specs = [q_blk, kv_full, kv_full]
     inputs = [q, k, v]
@@ -411,20 +415,20 @@ def _egt_core_bwd_impl(clip, random_mask_prob, attn_dropout, training, gated,
     inputs.extend([h_hat, gv, gh])
     if gated:
         if gdeg is None:
-            gdeg = jnp.zeros((b, h, l, 1), jnp.float32)
+            gdeg = jnp.zeros((b, h, lq, 1), jnp.float32)
         in_specs.append(deg_spec)
         inputs.append(gdeg)
 
     dt = q.dtype
     out_shape = [
-        jax.ShapeDtypeStruct((b, h, l, d), dt),           # dq
-        jax.ShapeDtypeStruct((b, h, l, d), jnp.float32),  # dk (f32 accumulator)
-        jax.ShapeDtypeStruct((b, h, l, d), jnp.float32),  # dv (f32 accumulator)
-        jax.ShapeDtypeStruct((b, h, l, l), dt),           # de
+        jax.ShapeDtypeStruct((b, h, lq, d), dt),           # dq
+        jax.ShapeDtypeStruct((b, h, lk, d), jnp.float32),  # dk (f32 accumulator)
+        jax.ShapeDtypeStruct((b, h, lk, d), jnp.float32),  # dv (f32 accumulator)
+        jax.ShapeDtypeStruct((b, h, lq, lk), dt),          # de
     ]
     out_specs = [q_blk, kv_acc, kv_acc, ql_blk]
     if gated:
-        out_shape.append(jax.ShapeDtypeStruct((b, h, l, l), dt))
+        out_shape.append(jax.ShapeDtypeStruct((b, h, lq, lk), dt))
         out_specs.append(ql_blk)
 
     kernel = functools.partial(
@@ -434,7 +438,7 @@ def _egt_core_bwd_impl(clip, random_mask_prob, attn_dropout, training, gated,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b, h, l // qb),
+        grid=(b, h, lq // qb),
         in_specs=in_specs,
         out_specs=out_specs,
     )
@@ -478,12 +482,12 @@ class FusedAttentionOutput(NamedTuple):
 
 
 def egt_attention_fused(
-    q, k, v,                       # (b, h, l, d)
-    e_bias,                        # (b, h, l, l)
-    gates,                         # (b, h, l, l) | None
+    q, k, v,                       # q: (b, h, lq, d); k, v: (b, h, lk, d)
+    e_bias,                        # (b, h, lq, lk)
+    gates,                         # (b, h, lq, lk) | None
     *,
-    node_mask=None,                # (b, l) bool
-    attn_mask_hm=None,             # (b, l, l) 0/1 hard mask (head-shared)
+    node_mask=None,                # (b, lk) bool
+    attn_mask_hm=None,             # (b, lq, lk) 0/1 hard mask (head-shared)
     clip_logits_value=(-5.0, 5.0),
     scale_degree=False,
     scaler_type="log",
@@ -493,14 +497,21 @@ def egt_attention_fused(
     training=False,
     rng=None,
 ) -> FusedAttentionOutput:
-    """Fused path with the exact semantics of `egt.egt_attention` (head-major I/O)."""
-    b, h, l, d = q.shape
+    """Fused path with the exact semantics of `egt.egt_attention` (head-major I/O).
+
+    Rectangular grids are supported: under edge partitioning the queries are a row
+    shard (lq = vn + l/shards < lk) while K/V stay full; per-pair tensors carry
+    only the local rows. With virtual nodes the replicated VN rows lead every
+    shard's row block, so the degree-scaler VN pinning below indexes shard-local
+    rows identically to the full case."""
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
     gated = gates is not None
     if scale_degree and not gated:
         raise ValueError("scale_degree requires gated attention")
 
     if node_mask is None:
-        madd = jnp.zeros((b, 1, l), jnp.float32)
+        madd = jnp.zeros((b, 1, lk), jnp.float32)
     else:
         madd = ((node_mask.astype(jnp.float32) - 1.0) * 1e9)[:, None, :]
     maddf = None
@@ -525,7 +536,7 @@ def egt_attention_fused(
     v_att, h_hat, degrees = out
 
     if scale_degree:
-        degrees = degrees[..., 0]                # (b, h, l, 1) -> (b, h, l)
+        degrees = degrees[..., 0]                # (b, h, lq, 1) -> (b, h, lq)
         scalers = jnp.log1p(degrees) if scaler_type == "log" else degrees
         if num_virtual_nodes > 0:
             non_vn = scalers[:, :, num_virtual_nodes:]
@@ -533,7 +544,7 @@ def egt_attention_fused(
                               constant_values=1.0)
         v_att = v_att * scalers[..., None].astype(v_att.dtype)
 
-    # (b, h, l, d) -> (b, l, d, h) -> (b, l, d*h): matches the reference's
+    # (b, h, lq, d) -> (b, lq, d, h) -> (b, lq, d*h): matches the reference's
     # [d, h]-ordered head flattening (`egt_layers.py:139-141`).
-    v_flat = jnp.transpose(v_att, (0, 2, 3, 1)).reshape(b, l, d * h)
+    v_flat = jnp.transpose(v_att, (0, 2, 3, 1)).reshape(b, lq, d * h)
     return FusedAttentionOutput(v_att=v_flat, h_hat=h_hat)

@@ -215,3 +215,79 @@ def test_fused_stochastic_deterministic_given_rng():
 
     gq = jax.grad(loss)(args[0])
     assert np.all(np.isfinite(np.asarray(gq)))
+
+
+# ------------------------------------------------- rectangular (edge-partitioned)
+
+
+@pytest.mark.parametrize("gated", [True, False])
+@pytest.mark.parametrize("scale_degree", [False, True])
+def test_rectangular_forward_matches_reference(gated, scale_degree):
+    """Row-shard queries (lq < lk, the edge-partitioning layout): the kernel's
+    output must equal the einsum core on the same row shard."""
+    if scale_degree and not gated:
+        pytest.skip("scale_degree requires gating")
+    rng = np.random.default_rng(7)
+    q, k, v, e, g, mask = make_inputs(rng, l=16)
+    vn = 2 if scale_degree else 0
+    r0, lq = 4, 6  # rows [0,vn) + [r0, r0+lq) emulate a shard's (VN + local) rows
+    rows = np.concatenate([np.arange(vn), np.arange(r0, r0 + lq)])
+    qs, es, gs = q[:, :, rows], e[:, :, rows], g[:, :, rows]
+
+    fused = egt_attention_fused(
+        jnp.asarray(qs), jnp.asarray(k), jnp.asarray(v), jnp.asarray(es),
+        jnp.asarray(gs) if gated else None,
+        node_mask=jnp.asarray(mask), scale_degree=scale_degree,
+        num_virtual_nodes=vn)
+
+    # einsum core on the identical row shard (channel-last layout)
+    from egt_tpu.models.egt import egt_attention_core
+    cl = lambda x: jnp.transpose(jnp.asarray(x), (0, 2, 3, 1))
+    qc = jnp.transpose(jnp.asarray(qs), (0, 2, 3, 1))
+    kc = jnp.transpose(jnp.asarray(k), (0, 2, 3, 1))
+    vc = jnp.transpose(jnp.asarray(v), (0, 2, 3, 1))
+    ref = egt_attention_core(
+        qc, kc, vc, cl(es), cl(gs) if gated else None,
+        node_mask=jnp.asarray(mask), scale_degree=scale_degree,
+        num_virtual_nodes=vn)
+
+    np.testing.assert_allclose(np.asarray(fused.v_att), np.asarray(ref.v_att),
+                               rtol=1e-5, atol=1e-5)
+    h_hat_ref = jnp.transpose(ref.h_hat, (0, 3, 1, 2))
+    np.testing.assert_allclose(np.asarray(fused.h_hat), np.asarray(h_hat_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("gated", [True, False])
+def test_rectangular_gradients_match_reference(gated):
+    rng = np.random.default_rng(8)
+    q, k, v, e, g, mask = make_inputs(rng, l=16)
+    lq = 6
+    qs, es, gs = q[:, :, :lq], e[:, :, :lq], g[:, :, :lq]
+    maskj = jnp.asarray(mask)
+    b, h, l, d = q.shape
+
+    from egt_tpu.models.egt import egt_attention_core
+
+    def loss_fused(qs, k, v, es, gs):
+        out = egt_attention_fused(qs, k, v, es, gs if gated else None,
+                                  node_mask=maskj, scale_degree=gated)
+        return jnp.sum(out.v_att ** 2) + jnp.sum(jnp.tanh(out.h_hat))
+
+    def loss_ref(qs, k, v, es, gs):
+        cl = lambda x: jnp.transpose(x, (0, 2, 3, 1))
+        ref = egt_attention_core(cl(qs), cl(k), cl(v), cl(es),
+                                 cl(gs) if gated else None,
+                                 node_mask=maskj, scale_degree=gated)
+        h_hat_hm = jnp.transpose(ref.h_hat, (0, 3, 1, 2))
+        return jnp.sum(ref.v_att ** 2) + jnp.sum(jnp.tanh(h_hat_hm))
+
+    args = tuple(jnp.asarray(x) for x in (qs, k, v, es, gs))
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(*args)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(*args)
+    names = ["dq", "dk", "dv", "de", "dg"]
+    for i, (a, b_) in enumerate(zip(gf, gr)):
+        if not gated and i == 4:
+            continue
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-4, err_msg=names[i])

@@ -57,3 +57,21 @@ def test_sp_training_with_dp(tmp_path):
     s = import_scheme("zinc.svd")(cfg)
     s.execute_training()
     assert s.state["current_epoch"] == 1
+
+
+def test_sp_training_fused_attention_matches_einsum(tmp_path):
+    """VERDICT r2 #6: the fused attention kernel composed WITH edge partitioning
+    (rectangular row-shard grids) must match the einsum sp path."""
+    make_zinc_like(str(tmp_path / "z.h5"), n_records=16, n_min=6, n_max=14)
+
+    s1 = import_scheme("zinc.svd")(_cfg(tmp_path, "sp_einsum", edge_partition=4,
+                                        use_pallas=False))
+    s1.execute_training()
+
+    s2 = import_scheme("zinc.svd")(_cfg(tmp_path, "sp_fused", edge_partition=4,
+                                        use_pallas=True))
+    s2.execute_training()
+
+    r1 = s1.evaluate_split("validation")
+    r2 = s2.evaluate_split("validation")
+    np.testing.assert_allclose(r1["mae"], r2["mae"], rtol=1e-4, atol=1e-5)

@@ -81,7 +81,8 @@ def collective_bytes(compiled) -> dict:
 
 
 def bench(n_devices: int, mode: str, sp: int, batch_per_dev: int, l: int,
-          iters: int, width: int, edge_width: int, height: int):
+          iters: int, width: int, edge_width: int, height: int,
+          use_pallas: bool = False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -102,7 +103,7 @@ def bench(n_devices: int, mode: str, sp: int, batch_per_dev: int, l: int,
         model_height=height, node_input_kind="tokens",
         edge_input_kind="tokens", num_node_features=28, num_edge_features=4,
         num_targets=1, readout_kind="graph", upto_hop=4,
-        random_mask_prob=0.0)
+        random_mask_prob=0.0, fused_attention=use_pallas)
     model = EGTGraphModel(cfg)
     params = model.init(jax.random.PRNGKey(0))
     tx = optax.adam(1e-3)
@@ -164,7 +165,8 @@ def bench(n_devices: int, mode: str, sp: int, batch_per_dev: int, l: int,
     gps = b / dt
     eps = gps * l * l
     return {"devices": n_devices, "mode": mode, "dp": dp,
-            "sp": model_parallel, "global_batch": b,
+            "sp": model_parallel, "use_pallas": use_pallas,
+            "global_batch": b,
             "ms_per_step": round(dt * 1e3, 2),
             "graphs_per_sec": round(gps, 1),
             "edges_per_sec": round(eps, 1),
@@ -182,6 +184,9 @@ def main():
     ap.add_argument("--width", type=int, default=32)
     ap.add_argument("--edge-width", type=int, default=16)
     ap.add_argument("--height", type=int, default=2)
+    ap.add_argument("--use-pallas", action="store_true",
+                    help="fused attention kernel ON (composes with dpsp via "
+                    "rectangular row-shard grids; interpret-mode on CPU)")
     ap.add_argument("--tpu", action="store_true",
                     help="use the real TPU slice (default: virtual CPU mesh; "
                     "NOTE: merely initializing the TPU backend before "
@@ -209,7 +214,8 @@ def main():
             log(f"skip n={n}: not divisible by sp={args.sp}")
             continue
         r = bench(n, args.mode, args.sp, args.batch_per_dev, args.l,
-                  args.iters, args.width, args.edge_width, args.height)
+                  args.iters, args.width, args.edge_width, args.height,
+                  use_pallas=args.use_pallas)
         results.append(r)
         log(f"n={n}: {r['ms_per_step']} ms/step, "
             f"{r['graphs_per_sec']} graphs/s, "

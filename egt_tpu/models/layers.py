@@ -181,12 +181,13 @@ def sp_dropout_rows(x_rows, rate: float, training: bool, rng, sp: SPContext):
 def _auto_fused(cfg, l: int) -> bool:
     """Resolve fused_attention per TRACED shape: with length buckets each pad
     length compiles its own program, so small buckets keep the einsum path
-    even when the dataset-wide max crosses the kernel's crossover. Threshold
-    from the measured matrix (CROSSOVER_MATRIX.json, v5e bf16 train step):
-    the kernel wins at PATTERN l=192 (+18%) and TSP l=512 (+10%), ties at
-    CIFAR l=160, loses below."""
+    even when the dataset-wide max crosses the kernel's crossover. The
+    decision rule is DERIVED from the measured matrix (CROSSOVER_MATRIX.json,
+    v5e bf16 train step — kernel wins at PATTERN l=192 +18% and TSP l=512
+    +10%, ties at CIFAR l=160, loses below; see ops/crossover.py)."""
     if cfg.fused_attention == "auto":
-        return l >= 176
+        from ..ops.crossover import fused_attention_wins
+        return fused_attention_wins(l, cfg.edge_width, str(cfg.compute_dtype))
     return bool(cfg.fused_attention)
 
 

@@ -1,0 +1,131 @@
+"""Kernel-selection thresholds derived from the measured crossover matrix.
+
+`use_pallas: "auto"` must decide, per traced pad length, whether the fused
+attention kernel (ops/egt_pallas.py) beats the plain XLA einsum path. Round 2
+hard-coded the decision as `l >= 176`; this module replaces the constant with a
+rule DERIVED from CROSSOVER_MATRIX.json (produced by `tools/layerbench.py
+--matrix` on the real chip), so re-running the sweep retunes the dispatch with
+no code edit.
+
+Rule shape: the kernel's win region is monotone in l at fixed edge width (the
+kernel amortizes its fixed per-program cost over l^2 work while the XLA path
+keeps relayouting (b,l,l,*) tensors), so for each measured edge width we place
+the threshold at the geometric midpoint between the largest l where XLA wins
+and the smallest l where the kernel wins. Edge widths with only one side
+measured borrow the missing side from the all-ew pool; with no matrix at all,
+the round-2 constant 176 is the fallback.
+
+`tests/test_crossover.py` asserts the derived rule agrees with the matrix's
+argmin at every measured (l, ew) point — the matrix is the source of truth.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import math
+import os
+
+_DEFAULT_THRESHOLD = 176  # round-2 measured constant (CROSSOVER_MATRIX.json)
+
+# (l, ew) for legacy matrix rows that predate per-row shape fields
+_LEGACY_SHAPES = {
+    "zinc500k": (40, 64), "zinc100k": (40, 48), "pattern500k": (192, 8),
+    "cluster500k": (192, 8), "mnist500k": (80, 64), "cifar500k": (160, 64),
+    "tsp500k": (512, 64),
+}
+
+
+def matrix_path() -> str:
+    here = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    return os.path.join(here, "CROSSOVER_MATRIX.json")
+
+
+def _load_rows(path: str | None):
+    path = path or matrix_path()
+    try:
+        with open(path) as fp:
+            return json.load(fp)
+    except (OSError, ValueError):
+        return []
+
+
+def measured_points(rows, dtype: str = "bfloat16"):
+    """-> {(l, ew): attn_wins} for every (shape, dtype) with both the xla and
+    attn train-step cells measured."""
+    by_shape = {}
+    for r in rows:
+        if r.get("dtype", "bfloat16") != dtype or "ms_per_step" not in r:
+            continue
+        key = r["shape"]
+        by_shape.setdefault(key, {})[r["path"]] = r
+    points = {}
+    for name, cells in by_shape.items():
+        if "xla" not in cells or "attn" not in cells:
+            continue
+        row = cells["attn"]
+        if "l" in row and "ew" in row:
+            l, ew = int(row["l"]), int(row["ew"])
+        elif name in _LEGACY_SHAPES:
+            l, ew = _LEGACY_SHAPES[name]
+        else:
+            continue
+        points[(l, ew)] = (cells["attn"]["ms_per_step"]
+                           < cells["xla"]["ms_per_step"])
+    return points
+
+
+def derive_thresholds(rows, dtype: str = "bfloat16"):
+    """-> {ew: l_threshold} (attn wins iff l >= threshold), one entry per
+    measured edge width, geometric-midpoint placement with all-ew fallback for
+    one-sided edge widths."""
+    points = measured_points(rows, dtype)
+    if not points:
+        return {}
+    all_xla = [l for (l, _), wins in points.items() if not wins]
+    out = {}
+    # pass 1: every ew with a measured kernel win gets a bracketed threshold
+    for ew in sorted({ew for (_, ew) in points}):
+        xla_ls = [l for (l, e), wins in points.items()
+                  if e == ew and not wins]
+        attn_ls = [l for (l, e), wins in points.items() if e == ew and wins]
+        if not attn_ls:
+            continue
+        hi = min(attn_ls)
+        # bracket with the largest BELOW-hi xla point, locally if measured,
+        # else from the pooled set (losses above hi would invert the bracket)
+        lo_pool = [l for l in (xla_ls or all_xla) if l < hi]
+        out[ew] = math.sqrt(max(lo_pool) * hi) if lo_pool else hi
+    # pass 2: loss-only edge widths take the nearest win-measured width's
+    # threshold (no extrapolated win from unrelated shapes), floored above
+    # their own largest measured loss; with no wins anywhere: inf
+    win_derived = dict(out)
+    for ew in sorted({ew for (_, ew) in points}):
+        if ew in out:
+            continue
+        xla_ls = [l for (l, e), wins in points.items()
+                  if e == ew and not wins]
+        if not win_derived:
+            out[ew] = math.inf
+            continue
+        nearest = min(win_derived, key=lambda e: abs(e - ew))
+        out[ew] = max(win_derived[nearest],
+                      max(xla_ls) + 1 if xla_ls else 0)
+    return out
+
+
+@functools.lru_cache(maxsize=4)
+def _thresholds_cached(dtype: str, path: str | None):
+    return derive_thresholds(_load_rows(path), dtype)
+
+
+def fused_attention_wins(l: int, ew: int, dtype: str = "bfloat16",
+                         path: str | None = None) -> bool:
+    """The `use_pallas: "auto"` dispatch decision for a traced pad length `l`
+    and edge width `ew`."""
+    thresholds = _thresholds_cached(dtype, path)
+    if not thresholds:
+        return l >= _DEFAULT_THRESHOLD
+    ew_key = min(thresholds, key=lambda e: abs(e - ew))  # nearest measured ew
+    return l >= thresholds[ew_key]

@@ -1,0 +1,103 @@
+"""The matrix-derived `use_pallas: "auto"` dispatch rule (VERDICT r2 #7).
+
+The committed CROSSOVER_MATRIX.json is the source of truth: the derived
+threshold rule must reproduce its xla-vs-attn argmin at every measured point,
+and the model's `_auto_fused` must follow the same rule.
+"""
+
+import json
+import math
+import os
+
+from egt_tpu.ops.crossover import (derive_thresholds, fused_attention_wins,
+                                   matrix_path, measured_points)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _rows():
+    return json.load(open(os.path.join(REPO, "CROSSOVER_MATRIX.json")))
+
+
+def test_matrix_file_resolves():
+    assert os.path.exists(matrix_path())
+
+
+def test_rule_agrees_with_matrix_argmins():
+    rows = _rows()
+    for dtype in sorted({r.get("dtype", "bfloat16") for r in rows}):
+        points = measured_points(rows, dtype)
+        assert points, f"no measured xla/attn pairs for {dtype}"
+        for (l, ew), attn_wins in points.items():
+            got = fused_attention_wins(l, ew, dtype)
+            assert got == attn_wins, (
+                f"auto rule disagrees with matrix at l={l} ew={ew} "
+                f"[{dtype}]: rule={got} matrix={attn_wins}")
+
+
+def test_thresholds_monotone_semantics():
+    """A threshold means: wins at/above, loses below — check internal
+    consistency of the derivation on the committed matrix."""
+    rows = _rows()
+    th = derive_thresholds(rows, "bfloat16")
+    assert th, "no thresholds derived from committed matrix"
+    for ew, t in th.items():
+        assert t > 0
+        pts = {l: w for (l, e), w in measured_points(rows, "bfloat16").items()
+               if e == ew}
+        for l, wins in pts.items():
+            if wins:
+                assert l >= t or math.isinf(t) is False
+            else:
+                assert l < t
+
+
+def test_model_auto_follows_rule():
+    from egt_tpu.models.graph_model import GraphModelConfig
+    from egt_tpu.models.layers import _auto_fused
+
+    cfg = GraphModelConfig(
+        model_width=64, edge_width=64, num_heads=8, model_height=2,
+        node_input_kind="tokens", edge_input_kind="tokens",
+        num_node_features=4, num_edge_features=4, num_targets=1,
+        readout_kind="graph", compute_dtype="bfloat16")
+    cfg.fused_attention = "auto"
+    for l in (40, 160, 192, 512):
+        assert _auto_fused(cfg, l) == fused_attention_wins(l, 64, "bfloat16")
+    # explicit override beats the matrix
+    cfg.fused_attention = True
+    assert _auto_fused(cfg, 8)
+    cfg.fused_attention = False
+    assert not _auto_fused(cfg, 4096)
+
+
+def test_fallback_without_matrix(tmp_path):
+    """No matrix file -> round-2 constant 176."""
+    missing = str(tmp_path / "nope.json")
+    assert not fused_attention_wins(160, 64, "bfloat16", path=missing)
+    assert fused_attention_wins(176, 64, "bfloat16", path=missing)
+
+
+def test_one_sided_ew_borrows_bracket():
+    """An edge width with only kernel-wins points takes the all-ew xla bound."""
+    rows = [
+        {"shape": "a", "path": "xla", "dtype": "bfloat16", "l": 160, "ew": 64,
+         "ms_per_step": 10.0},
+        {"shape": "a", "path": "attn", "dtype": "bfloat16", "l": 160, "ew": 64,
+         "ms_per_step": 11.0},
+        {"shape": "b", "path": "xla", "dtype": "bfloat16", "l": 192, "ew": 8,
+         "ms_per_step": 12.0},
+        {"shape": "b", "path": "attn", "dtype": "bfloat16", "l": 192, "ew": 8,
+         "ms_per_step": 9.0},
+    ]
+    th = derive_thresholds(rows, "bfloat16")
+    assert 160 < th[8] <= 192                 # bracketed by the all-ew bound
+    # loss-only ew=64 borrows the nearest win-measured threshold, never an
+    # extrapolated win below its own measured loss
+    assert th[64] > 160
+    # rule consistency at every toy point
+    from egt_tpu.ops import crossover as co
+    pts = co.measured_points(rows, "bfloat16")
+    for (l, ew), wins in pts.items():
+        nearest = min(th, key=lambda e: abs(e - ew))
+        assert (l >= th[nearest]) == wins

@@ -93,7 +93,8 @@ def test_eval_latest_snapshot(workdir):
 
 
 def test_use_pallas_auto(workdir, tmp_path):
-    """'auto' enables the fused attention kernel only where it wins (l >= 176, CROSSOVER_MATRIX.json)."""
+    """'auto' enables the fused attention kernel only where it wins (matrix-derived
+    thresholds per edge width, CROSSOVER_MATRIX.json via ops/crossover.py)."""
     from egt_tpu.training.schemes import import_scheme
 
     cfg = zinc_config(workdir, use_pallas="auto", model_name="auto",
@@ -109,16 +110,13 @@ def test_use_pallas_auto(workdir, tmp_path):
 
     class _Probe:
         fused_attention = "auto"
+        edge_width = 64
+        compute_dtype = "bfloat16"
 
-    # the layer-level decision: einsum below the l>=176 crossover, kernel above
-    import numpy as np
-
-    class _T:  # minimal shape carrier
-        def __init__(self, l):
-            self.shape = (2, l, 16)
-
-    assert not L._auto_fused(_Probe(), _T(40).shape[1])
-    assert L._auto_fused(_Probe(), _T(512).shape[1])
+    # the layer-level decision: einsum below the measured ew=64 crossover,
+    # kernel above (TSP l=512 is a measured win; ZINC l=40 a measured loss)
+    assert not L._auto_fused(_Probe(), 40)
+    assert L._auto_fused(_Probe(), 512)
 
 
 def test_multi_step_dispatch_matches_single(workdir, tmp_path):

@@ -25,6 +25,7 @@ SHAPES = {
     "zinc500k": (128, 40, 64, 64, 8, 10),
     "zinc100k": (128, 40, 48, 48, 8, 4),
     "pattern500k": (128, 192, 64, 8, 8, 16),
+    "cluster500k": (128, 192, 64, 8, 8, 16),
     "mnist500k": (128, 80, 96, 64, 8, 4),
     "cifar500k": (128, 160, 96, 64, 8, 4),
     "tsp500k": (8, 512, 64, 64, 8, 10),
@@ -108,38 +109,65 @@ def main():
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--eval", action="store_true", help="time eval (no bwd/opt)")
     ap.add_argument("--matrix", metavar="OUT.json",
-                    help="sweep every SHAPES x --paths combination and write "
-                    "the crossover matrix as JSON (drives the 'auto' "
-                    "kernel-selection thresholds)")
+                    help="sweep every SHAPES x --paths x --dtype combination "
+                    "(dtypes comma-separated) and write the crossover matrix "
+                    "as JSON (drives the 'auto' kernel-selection thresholds "
+                    "via egt_tpu/ops/crossover.py)")
+    ap.add_argument("--thresholds", metavar="MATRIX.json", nargs="?",
+                    const="CROSSOVER_MATRIX.json",
+                    help="print the auto thresholds derived from an existing "
+                    "matrix file and exit")
     args = ap.parse_args()
+
+    if args.thresholds:
+        import json
+        from egt_tpu.ops.crossover import derive_thresholds, measured_points
+        rows = json.load(open(args.thresholds))
+        for dtype in sorted({r.get("dtype", "bfloat16") for r in rows}):
+            pts = measured_points(rows, dtype)
+            print(f"[{dtype}] measured (l, ew) -> kernel wins: "
+                  f"{ {k: v for k, v in sorted(pts.items())} }")
+            print(f"[{dtype}] thresholds (attn iff l >= t[ew]): "
+                  f"{derive_thresholds(rows, dtype)}")
+        return
 
     if args.matrix:
         import json
         rows = []
-        for sname, shape in SHAPES.items():
-            for path in args.paths.split(","):
-                try:
-                    step, params, opt, batch = build(shape, args.dtype, path,
-                                                     training=not args.eval)
-                    dt, comp, loss = timeit(step, params, opt, batch,
-                                            iters=args.iters)
-                    row = {"shape": sname, "path": path, "dtype": args.dtype,
-                           "ms_per_step": round(dt * 1e3, 3),
-                           "graphs_per_sec": round(shape[0] / dt, 1),
-                           "compile_s": round(comp, 1)}
-                except Exception as e:
-                    row = {"shape": sname, "path": path,
-                           "error": f"{type(e).__name__}: {e}"}
-                rows.append(row)
-                print(row, file=sys.stderr, flush=True)
-        for sname in SHAPES:
-            ok = [r for r in rows if r["shape"] == sname and "error" not in r]
-            if ok:
-                best = min(ok, key=lambda r: r["ms_per_step"])
-                best["best_for_shape"] = True
+        for dtype in args.dtype.split(","):
+            for sname, shape in SHAPES.items():
+                b, l, w, ew, h, height = shape
+                for path in args.paths.split(","):
+                    try:
+                        step, params, opt, batch = build(shape, dtype, path,
+                                                         training=not args.eval)
+                        dt, comp, loss = timeit(step, params, opt, batch,
+                                                iters=args.iters)
+                        row = {"shape": sname, "path": path, "dtype": dtype,
+                               "l": l, "ew": ew, "b": b,
+                               "ms_per_step": round(dt * 1e3, 3),
+                               "graphs_per_sec": round(shape[0] / dt, 1),
+                               "compile_s": round(comp, 1)}
+                    except Exception as e:
+                        row = {"shape": sname, "path": path, "dtype": dtype,
+                               "l": l, "ew": ew, "b": b,
+                               "error": f"{type(e).__name__}: {e}"}
+                    rows.append(row)
+                    print(row, file=sys.stderr, flush=True)
+            for sname in SHAPES:
+                ok = [r for r in rows
+                      if r["shape"] == sname and r["dtype"] == dtype
+                      and "error" not in r]
+                if ok:
+                    best = min(ok, key=lambda r: r["ms_per_step"])
+                    best["best_for_shape"] = True
         with open(args.matrix, "w") as fp:
             json.dump(rows, fp, indent=1)
         print(f"matrix written to {args.matrix}", file=sys.stderr)
+        from egt_tpu.ops.crossover import derive_thresholds
+        for dtype in args.dtype.split(","):
+            print(f"derived auto thresholds [{dtype}]: "
+                  f"{derive_thresholds(rows, dtype)}", file=sys.stderr)
         return
 
     shape = SHAPES[args.shape]

@@ -1,28 +1,33 @@
-"""Throughput benchmark: ZINC-500k-shape EGT training step on one chip.
+"""Throughput benchmark: EGT training step on one chip, at the flagship ZINC
+shape plus the two shapes where the Pallas attention kernel is auto-ON
+(PATTERN l=192, TSP l=512) — so the headline artifact exercises both the XLA
+and the TPU-kernel paths, with MEASURED (traced) utilization next to the
+analytic model.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "mfu",
-"hbm_bw_util_lb", "train_gflop_per_graph"}.
+Prints ONE JSON line. Headline metric stays zinc500k graphs/s (best-of-5,
+comparable to BENCH_r01/r02) with the median alongside; each shape carries:
+  - graphs_per_sec (best) / graphs_per_sec_median over 5 timing reps
+  - mfu_analytic: analytic train FLOPs vs the v5e bf16 peak (197 TFLOP/s —
+    the r1/r2 benches used 394e12, which is the chip's INT8 peak; the xplane
+    device plane records peak_teraflops_per_second = 202.7 for this part, so
+    r2's reported mfu=0.039 was really ~0.078)
+  - measured_*: from a jax.profiler device trace of the same step — XLA's
+    per-op cost analysis (flops, HBM bytes incl. memory-space breakdown)
+    weighted by executed occurrences, against the plane's recorded peaks;
+    plus the share of step time in relayout ("data formatting") ops.
 
-vs_baseline divides measured graphs/s by a ROOFLINE-DERIVED estimate of the
-TF2 reference on one V100 (the reference publishes no throughput numbers —
-BASELINE.md): its unfused quadratic chain moves ~30 ew-width l^2 tensor
-passes per layer per step; at 900 GB/s HBM2 with the 30% end-to-end
-attainment typical of Keras/tf.data pipelines that gives ~2.2k graphs/s at
-this shape. Full derivation: egt_tpu/utils/roofline.py
-::v100_tf2_baseline_graphs_per_sec. The north-star asks for >= 2x it.
-
-mfu uses an analytic FLOP count of the training step (3x forward matmul
-FLOPs) against the v5e bf16 peak (394 TFLOP/s); hbm_bw_util_lb measures the
-MINIMUM required edge-stream traffic against 819 GB/s — the real traffic is
-several x the bound, so a small number here means compute/latency-bound,
-not idle HBM.
+vs_baseline divides zinc graphs/s by a roofline-derived estimate of the TF2
+reference on one V100 (the reference publishes no throughput numbers —
+BASELINE.md); derivation in egt_tpu/utils/roofline.py.
 """
 
 import json
+import os
+import statistics
 import sys
 import time
 
-import numpy as np
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from egt_tpu.utils.roofline import ShapeModel, v100_tf2_baseline_graphs_per_sec
 
@@ -31,96 +36,113 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
+# (batch, pad_len, width, edge_width, heads, height) — must match the shipped
+# 500k recipes; see tools/layerbench.py SHAPES.
+BENCH_SHAPES = ("zinc500k", "pattern500k", "tsp500k")
+HEADLINE = "zinc500k"
+TRACE_ROOT = "/tmp/egtbench_trace"
+
+
+def measure_shape(name, shape, reps=5, iters=30, trace_steps=20):
     import jax
-    import jax.numpy as jnp
-    import optax
 
-    from egt_tpu.models.graph_model import EGTGraphModel, GraphModelConfig
-    from egt_tpu.parallel.dryrun import synthetic_batch
-    from egt_tpu.training import metrics as M
-    from egt_tpu.training import optim
+    from tools.layerbench import build
+    from tools.xplane_summary import aggregate
 
-    b, l = 128, 40
-    # bfloat16 compute with f32 islands (norms/softmax/optimizer) is the
-    # intended TPU training mode: validated to converge identically to f32 on
-    # the e2e ZINC slice (same val MAE to 3 decimals), and worth ~1.4x on the
-    # HBM-bound edge stream.
-    cfg = GraphModelConfig(
-        model_width=64, edge_width=64, num_heads=8, model_height=10,
-        node_input_kind="tokens", edge_input_kind="tokens",
-        num_node_features=28, num_edge_features=4, num_targets=1,
-        readout_kind="graph", upto_hop=16, random_mask_prob=0.1,
-        use_svd=True, num_svd_features=16, sel_svd_features=8,
-        transform_svd=True, random_neg=True, compute_dtype="bfloat16",
-    )
-    model = EGTGraphModel(cfg)
-    params = model.init(jax.random.PRNGKey(0))
-    n_params = sum(int(np.prod(np.shape(x)))
-                   for x in jax.tree_util.tree_leaves(params))
-    log(f"devices: {jax.devices()}  params: {n_params}")
-
-    optimizer = optim.make_optimizer("adam", 5e-4, params=params)
-    opt_state = optimizer.init(params)
-
-    rng = np.random.default_rng(0)
-    batch = synthetic_batch(rng, b, l)
-    batch["singular_vectors"] = rng.normal(size=(b, l, 16, 2)).astype(np.float32)
-    batch = jax.device_put(batch)
-
-    def loss_fn(p, bt, key):
-        out, ctx = model.apply(p, bt, training=True, rng=key)
-        s, c = M.mae_loss(out, bt["target"], None, bt["sample_mask"])
-        return s / jnp.maximum(c, 1.0)
-
-    import functools
-
-    @functools.partial(jax.jit, donate_argnums=(0, 1))  # as the engine does
-    def train_step(p, o, bt, key):
-        loss, grads = jax.value_and_grad(loss_fn)(p, bt, key)
-        updates, o = optimizer.update(grads, o, p)
-        p = optax.apply_updates(p, updates)
-        return p, o, loss
-
+    b = shape[0]
+    # 'auto' resolves the engine defaults per traced shape: the Pallas
+    # attention kernel at l >= its measured crossover, einsum/vpu below
+    step, params, opt, batch = build(shape, "bfloat16", "auto")
     key = jax.random.PRNGKey(1)
     t0 = time.time()
-    params, opt_state, loss = jax.block_until_ready(
-        train_step(params, opt_state, batch, key))
-    log(f"compile+first step: {time.time() - t0:.1f}s loss={float(loss):.4f}")
-
-    # warmup
-    for i in range(3):
-        params, opt_state, loss = train_step(params, opt_state, batch, key)
+    params, opt, loss = jax.block_until_ready(step(params, opt, batch, key))
+    log(f"[{name}] compile+first step: {time.time() - t0:.1f}s "
+        f"loss={float(loss):.4f}")
+    for _ in range(3):
+        params, opt, loss = step(params, opt, batch, key)
     jax.block_until_ready(loss)
 
-    # The chip can be time-shared; take the best of 3 timing rounds to reduce
-    # contention noise.
-    iters = 30
-    best = 0.0
-    for rep in range(5):
+    # the chip can be time-shared: report best AND median over 5 rounds.
+    # every iteration chains donated state (the axon tunnel memoizes
+    # identical dispatches — DESIGN_NOTES "measurement gotcha")
+    rates = []
+    for rep in range(reps):
         t0 = time.time()
-        for i in range(iters):
-            params, opt_state, loss = train_step(params, opt_state, batch, key)
+        for _ in range(iters):
+            params, opt, loss = step(params, opt, batch, key)
         jax.block_until_ready(loss)
         dt = time.time() - t0
-        gps = b * iters / dt
-        log(f"rep {rep}: {iters} steps in {dt:.3f}s -> {gps:.1f} graphs/s")
-        best = max(best, gps)
-    graphs_per_sec = best
+        rates.append(b * iters / dt)
+        log(f"[{name}] rep {rep}: {iters} steps in {dt:.3f}s -> "
+            f"{rates[-1]:.1f} graphs/s")
 
-    shape = ShapeModel(b=b, l=l, w=64, ew=64, h=8, height=10)
-    baseline = v100_tf2_baseline_graphs_per_sec(shape)
+    out = {
+        "graphs_per_sec": round(max(rates), 1),
+        "graphs_per_sec_median": round(statistics.median(rates), 1),
+    }
+
+    trace_dir = os.path.join(TRACE_ROOT, name)
+    try:
+        os.makedirs(trace_dir, exist_ok=True)
+        with jax.profiler.trace(trace_dir):
+            for _ in range(trace_steps):
+                params, opt, loss = step(params, opt, batch, key)
+            jax.block_until_ready(loss)
+        agg = aggregate(trace_dir, trace_steps)
+        cats = agg["categories"]
+        fmt_pct = cats.get("data formatting", {}).get("pct", 0.0)
+        pallas_pct = sum(row["pct"] for c, row in cats.items()
+                         if c.startswith("pallas"))
+        out.update({
+            "step_time_ms_traced": round(agg["step_time_ms"], 3)
+            if agg["step_time_ms"] is not None else None,
+            "measured_mfu": round(agg["measured_mfu"], 4),
+            "measured_hbm_gbps": round(agg["measured_hbm_gbps"], 1)
+            if agg["measured_hbm_gbps"] is not None else None,
+            "measured_hbm_util": round(agg["measured_hbm_util"], 4)
+            if agg["measured_hbm_util"] is not None else None,
+            "relayout_pct": round(fmt_pct, 1),
+            "pallas_pct": round(pallas_pct, 1),
+            "ops_per_step": agg["ops_per_step"],
+        })
+    except Exception as e:  # tracing is best-effort; timing stands alone
+        log(f"[{name}] trace failed: {type(e).__name__}: {e}")
+        out["trace_error"] = f"{type(e).__name__}: {e}"
+    return out
+
+
+def main():
+    import jax
+
+    from tools.layerbench import SHAPES
+
+    log(f"devices: {jax.devices()}")
+    results = {}
+    for name in BENCH_SHAPES:
+        shape = SHAPES[name]
+        b, l, w, ew, h, height = shape
+        res = measure_shape(name, shape)
+        m = ShapeModel(b=b, l=l, w=w, ew=ew, h=h, height=height)
+        res["mfu_analytic"] = round(m.mfu(res["graphs_per_sec"]), 4)
+        res["hbm_bw_util_lb"] = round(
+            m.hbm_bw_util_lower_bound(res["graphs_per_sec"]), 4)
+        results[name] = res
+
+    z = results[HEADLINE]
+    zshape = SHAPES[HEADLINE]
+    m = ShapeModel(b=zshape[0], l=zshape[1], w=zshape[2], ew=zshape[3],
+                   h=zshape[4], height=zshape[5])
+    baseline = v100_tf2_baseline_graphs_per_sec(m)
     print(json.dumps({
         "metric": "zinc500k_train_graphs_per_sec_per_chip",
-        "value": round(graphs_per_sec, 1),
+        "value": z["graphs_per_sec"],
         "unit": "graphs/s",
-        "vs_baseline": round(graphs_per_sec / baseline, 3),
+        "vs_baseline": round(z["graphs_per_sec"] / baseline, 3),
         "baseline_graphs_per_sec": round(baseline, 1),
-        "mfu": round(shape.mfu(graphs_per_sec), 4),
-        "hbm_bw_util_lb": round(
-            shape.hbm_bw_util_lower_bound(graphs_per_sec), 4),
-        "train_gflop_per_graph": round(
-            shape.train_flops_per_graph() / 1e9, 3),
+        "median": z["graphs_per_sec_median"],
+        "mfu": z["mfu_analytic"],
+        "train_gflop_per_graph": round(m.train_flops_per_graph() / 1e9, 3),
+        "shapes": results,
     }))
 
 

@@ -49,6 +49,28 @@ def split_qkv(qkv: jax.Array, num_heads: int):
     return qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
 
+def _qk_logits_vpu(q, k):
+    """(b, lq, d, h) x (b, lk, d, h) -> (b, lq, lk, h) as an elementwise chain
+    unrolled over the tiny contraction axis d. At EGT head dims (d = w/h = 8)
+    the MXU dot wastes >90% of the systolic array AND forces the big per-pair
+    tensor through a dot-friendly relayout; producing it on the VPU keeps it in
+    the elementwise-optimal (batch-minor) layout with no copies."""
+    d = q.shape[2]
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    acc = qf[:, :, None, 0, :] * kf[:, None, :, 0, :]
+    for di in range(1, d):
+        acc = acc + qf[:, :, None, di, :] * kf[:, None, :, di, :]
+    return acc
+
+
+def _av_vpu(a, v):
+    """(b, lq, lk, h) x (b, lk, d, h) -> (b, lq, d, h) as broadcast-multiply +
+    reduce over the key axis — one fused reduce pass in `a`'s layout."""
+    return jnp.sum(a.astype(jnp.float32)[:, :, :, None, :]
+                   * v.astype(jnp.float32)[:, None, :, :, :], axis=2)
+
+
 def egt_attention_core(
     q, k, v,                    # q: (b, l_q, d, h);  k, v: (b, l_k, d, h)
     e_bias,                     # (b, l_q, l_k, h) | None
@@ -64,33 +86,46 @@ def egt_attention_core(
     attn_dropout=0.0,
     training=False,
     rng=None,
+    impl="einsum",              # einsum (MXU dots) | vpu (elementwise chains)
+    chain_f32=True,             # False: per-pair chain tensors stay in the
+    #   compute dtype (halves the HBM traffic of the logits/softmax/gate chain
+    #   under bfloat16; the softmax denominator and the AV/QK accumulations
+    #   remain f32 via preferred_element_type)
 ):
     if scale_degree and gates is None:
         raise ValueError("scale_degree requires gated attention")
     if scaler_type not in ("log", "linear"):
         raise ValueError(f"scaler_type must be log or linear, got {scaler_type}")
+    if impl not in ("einsum", "vpu"):
+        raise ValueError(f"attention impl must be einsum or vpu, got {impl!r}")
 
     b, lq, d, h = q.shape
     out_dtype = q.dtype
+    ct = jnp.float32 if chain_f32 else out_dtype
 
-    # logits on the MXU, accumulated in f32 (`egt_layers.py:79`)
-    a_hat = jnp.einsum("bldh,bmdh->blmh", q, k,
-                       preferred_element_type=jnp.float32) * (d ** -0.5)
+    if impl == "vpu":
+        a_hat = (_qk_logits_vpu(q, k) * (d ** -0.5)).astype(ct)
+    else:
+        # logits on the MXU, accumulated in f32 (`egt_layers.py:79`)
+        a_hat = (jnp.einsum("bldh,bmdh->blmh", q, k,
+                            preferred_element_type=jnp.float32)
+                 * (d ** -0.5)).astype(ct)
     if clip_logits_value is not None:
         a_hat = jnp.clip(a_hat, clip_logits_value[0], clip_logits_value[1])
     h_hat = a_hat
     if e_bias is not None:
-        h_hat = h_hat + e_bias.astype(jnp.float32)
+        h_hat = h_hat + e_bias.astype(ct)
 
     logits = h_hat
-    g = None if gates is None else gates.astype(jnp.float32)
+    g = None if gates is None else gates.astype(ct)
     if node_mask is not None:
-        madd = (node_mask.astype(jnp.float32)[:, None, :, None] - 1.0) * 1e9
+        madd = (node_mask.astype(ct)[:, None, :, None] - 1.0) * jnp.asarray(
+            1e9, ct)
         logits = logits + madd
         if g is not None:
             g = g + madd
     if attn_mask is not None:
-        aadd = (attn_mask.astype(jnp.float32) - 1.0) * 1e9
+        aadd = (attn_mask.astype(ct) - 1.0) * jnp.asarray(1e9, ct)
         logits = logits + aadd
         if g is not None:
             g = g + aadd
@@ -99,7 +134,7 @@ def egt_attention_core(
         if rng is None:
             raise ValueError("random_mask_prob requires an rng at training time")
         u = jax.random.uniform(rng, logits.shape, dtype=jnp.float32)
-        rmask = jnp.where(u < random_mask_prob, NEG_INF, 0.0)
+        rmask = jnp.where(u < random_mask_prob, NEG_INF, 0.0).astype(ct)
         logits = logits + rmask
         if g is not None:
             g = g + rmask
@@ -120,8 +155,11 @@ def egt_attention_core(
             >= attn_dropout
         a_drop = jnp.where(keep_mask, a_tild / keep, 0.0)
 
-    v_att = jnp.einsum("blmh,bmdh->bldh", a_drop.astype(out_dtype), v,
-                       preferred_element_type=jnp.float32)
+    if impl == "vpu":
+        v_att = _av_vpu(a_drop.astype(out_dtype), v)
+    else:
+        v_att = jnp.einsum("blmh,bmdh->bldh", a_drop.astype(out_dtype), v,
+                           preferred_element_type=jnp.float32)
 
     if scale_degree:
         degrees = jnp.sum(sg, axis=2, keepdims=True)        # (b, l_q, 1, h)
@@ -156,6 +194,8 @@ def egt_attention(
     attn_dropout=0.0,
     training=False,
     rng=None,
+    impl="einsum",
+    chain_f32=True,
 ) -> EGTOutput:
     """Full (unsharded) EGT attention from a fused qkv projection."""
     q, k, v = split_qkv(qkv, num_heads)
@@ -166,4 +206,4 @@ def egt_attention(
         scale_degree=scale_degree, scaler_type=scaler_type,
         num_virtual_nodes=num_virtual_nodes,
         random_mask_prob=random_mask_prob, attn_dropout=attn_dropout,
-        training=training, rng=rng)
+        training=training, rng=rng, impl=impl, chain_f32=chain_f32)

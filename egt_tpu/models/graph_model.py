@@ -107,6 +107,12 @@ class GraphModelConfig:
     use_node_embeddings: bool = False     # TSP ablation pairwise-cat readout
     mask_value: float = -1.0
     # TPU execution knobs (no reference equivalent)
+    attention_impl: str = "auto"          # einsum (MXU dots) | vpu (elementwise
+    #   chains, keeps per-pair tensors in the elementwise layout — wins at
+    #   small head dims where the dots underfill the MXU and force relayouts)
+    #   | auto (measured per-shape rule, ops/crossover.py)
+    attn_chain_f32: bool = True           # False: logits/softmax/gate chain in
+    #   the compute dtype (bf16 halves its HBM traffic; accumulations stay f32)
     fused_attention: bool | str = False   # Pallas kernel (ops/egt_pallas.py);
     #   True | False | "auto" (per-traced-shape l>=256 crossover)
     fused_edge_block: bool = False        # Pallas kernel (ops/edge_block_pallas.py)

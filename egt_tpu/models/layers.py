@@ -246,9 +246,28 @@ def _attention(p, cfg, h_n, e_bias_raw, gates_raw, node_mask, edge_mask,
     if sp is not None:
         q = sp_take_rows(q, sp)
     am = None if edge_mask is None else edge_mask[..., None]
+    impl, chain_f32 = _resolve_attention_impl(cfg, h_n.shape[1])
     out = egt_attention_core(q, k, v, e_bias_raw, gates_raw,
-                             node_mask=node_mask, attn_mask=am, **kw)
+                             node_mask=node_mask, attn_mask=am,
+                             impl=impl, chain_f32=chain_f32, **kw)
     return out.v_att, out.h_hat, out.a_tild
+
+
+def _resolve_attention_impl(cfg, l: int) -> tuple[str, bool]:
+    """(impl, chain_f32) for the non-Pallas path, resolved per traced shape.
+    'auto' consults the measured rule in ops/crossover.py; when it dispatches
+    to vpu it also takes the bf16 per-pair chain — the measurement and the
+    convergence gate that admit matrix rows are for the PAIR (DESIGN_NOTES
+    "Round-3 vpu+c16")."""
+    impl = getattr(cfg, "attention_impl", "auto")
+    chain_f32 = bool(getattr(cfg, "attn_chain_f32", True))
+    if impl == "auto":
+        from ..ops.crossover import vpu_attention_wins
+        if vpu_attention_wins(l, cfg.model_width // cfg.num_heads,
+                              cfg.num_heads, str(cfg.compute_dtype)):
+            return "vpu", False
+        return "einsum", chain_f32
+    return impl, chain_f32
 
 
 def _mha_block(p, cfg, norm_node, h, e_bias, gates, node_mask, edge_mask,

@@ -129,3 +129,45 @@ def fused_attention_wins(l: int, ew: int, dtype: str = "bfloat16",
         return l >= _DEFAULT_THRESHOLD
     ew_key = min(thresholds, key=lambda e: abs(e - ew))  # nearest measured ew
     return l >= thresholds[ew_key]
+
+
+def vpu_points(rows, dtype: str = "bfloat16"):
+    """-> {(l, d, h): vpu_wins} for every shape with both the xla (einsum) and
+    vpu train-step cells measured. `d` is the per-head dim w/h. The shipped
+    vpu mode pairs the elementwise chains with the bf16 per-pair chain
+    (measured + convergence-gated as a pair, DESIGN_NOTES "Round-3 vpu+c16"),
+    so 'vpu+c16' rows take precedence over plain 'vpu' rows."""
+    by_shape = {}
+    for r in rows:
+        if r.get("dtype", "bfloat16") != dtype or "ms_per_step" not in r:
+            continue
+        by_shape.setdefault(r["shape"], {})[r["path"]] = r
+    points = {}
+    for cells in by_shape.values():
+        vpu_cell = cells.get("vpu+c16") or cells.get("vpu")
+        if "xla" not in cells or vpu_cell is None:
+            continue
+        if not {"l", "w", "h"} <= vpu_cell.keys():
+            continue
+        key = (int(vpu_cell["l"]), int(vpu_cell["w"]) // int(vpu_cell["h"]),
+               int(vpu_cell["h"]))
+        points[key] = vpu_cell["ms_per_step"] < cells["xla"]["ms_per_step"]
+    return points
+
+
+@functools.lru_cache(maxsize=4)
+def _vpu_points_cached(dtype: str, path: str | None):
+    return vpu_points(_load_rows(path), dtype)
+
+
+def vpu_attention_wins(l: int, d: int, h: int, dtype: str = "bfloat16",
+                       path: str | None = None) -> bool:
+    """The `attention_impl: "auto"` decision — should the non-Pallas attention
+    run the VPU elementwise chains instead of the MXU einsums at this traced
+    shape? Decided by the nearest measured (d, l) point of the crossover
+    matrix; with nothing measured the einsum path stands."""
+    points = _vpu_points_cached(dtype, path)
+    if not points:
+        return False
+    key = min(points, key=lambda p: (abs(p[1] - d), abs(p[0] - l)))
+    return points[key]

@@ -133,6 +133,8 @@ class TrainingBase:
             compute_dtype="bfloat16",    # 'float32' | 'bfloat16'
             use_pallas="auto",           # fused attention kernel; True|False|"auto"
             use_pallas_edge=False,       # fused edge block (ops/edge_block_pallas.py)
+            attention_impl="auto",       # non-Pallas attention: einsum|vpu|auto
+            attn_chain_f32=True,         # False: bf16 logits/softmax/gate chain
             num_devices=None,            # limit the mesh; None = all local devices
             reload_on_nan=False,         # reference `relod_on_nan` capability
             log_tensorboard=True,
@@ -226,6 +228,8 @@ class TrainingBase:
         # ops/crossover.py), so length buckets each pick their best path
         cfg.fused_attention = "auto" if up == "auto" else bool(up)
         cfg.fused_edge_block = bool(self.config.use_pallas_edge)
+        cfg.attention_impl = str(self.config.attention_impl)
+        cfg.attn_chain_f32 = bool(self.config.attn_chain_f32)
         cfg.compute_dtype = self.config.compute_dtype
         cfg.remat = bool(self.config.remat)
         self.model_config = cfg

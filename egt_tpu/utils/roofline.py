@@ -11,15 +11,19 @@ Counting conventions:
 - Traffic counts the quadratic (l^2-sized) tensors only — node-stream and
   weight traffic is two orders of magnitude smaller at these shapes.
 
-v5e peak numbers (public): 394 TFLOP/s bf16 (197 f32), 819 GB/s HBM.
+v5e peak numbers: 197 TFLOP/s bf16, 394 TOPS int8, 819 GB/s HBM. The xplane
+device plane of a trace on this part records peak_teraflops_per_second =
+202.7 and peak_hbm_bw_gigabytes_per_second = 819.16, confirming the bf16
+figure. (The r1/r2 benches used 394e12 as the bf16 peak — that is the INT8
+number, so their reported MFUs understate by 2x.)
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
-V5E_PEAK_FLOPS_BF16 = 394e12
-V5E_PEAK_FLOPS_F32 = 197e12
+V5E_PEAK_FLOPS_BF16 = 197e12
+V5E_PEAK_FLOPS_F32 = 98.5e12
 V5E_HBM_BYTES_PER_S = 819e9
 
 

@@ -101,3 +101,40 @@ def test_one_sided_ew_borrows_bracket():
     for (l, ew), wins in pts.items():
         nearest = min(th, key=lambda e: abs(e - ew))
         assert (l >= th[nearest]) == wins
+
+
+def test_vpu_rule_from_matrix():
+    """attention_impl='auto' consults measured vpu-vs-xla rows; unmeasured
+    shapes take the nearest (d, l) point; no rows -> einsum stands."""
+    from egt_tpu.ops import crossover as co
+    rows = [
+        {"shape": "a", "path": "xla", "dtype": "bfloat16", "l": 40, "ew": 64,
+         "w": 64, "h": 8, "b": 128, "ms_per_step": 10.0},
+        {"shape": "a", "path": "vpu", "dtype": "bfloat16", "l": 40, "ew": 64,
+         "w": 64, "h": 8, "b": 128, "ms_per_step": 9.0},
+        {"shape": "b", "path": "xla", "dtype": "bfloat16", "l": 192, "ew": 8,
+         "w": 64, "h": 8, "b": 128, "ms_per_step": 10.0},
+        {"shape": "b", "path": "vpu", "dtype": "bfloat16", "l": 192, "ew": 8,
+         "w": 64, "h": 8, "b": 128, "ms_per_step": 12.0},
+    ]
+    pts = co.vpu_points(rows, "bfloat16")
+    assert pts == {(40, 8, 8): True, (192, 8, 8): False}
+    # a vpu+c16 row takes precedence over the plain vpu row for the same shape
+    rows_c16 = rows + [
+        {"shape": "a", "path": "vpu+c16", "dtype": "bfloat16", "l": 40,
+         "ew": 64, "w": 64, "h": 8, "b": 128, "ms_per_step": 11.0}]
+    assert co.vpu_points(rows_c16, "bfloat16")[(40, 8, 8)] is False
+    import json, tempfile, os
+    fd, path = tempfile.mkstemp(suffix=".json")
+    with os.fdopen(fd, "w") as fp:
+        json.dump(rows, fp)
+    try:
+        assert co.vpu_attention_wins(40, 8, 8, "bfloat16", path) is True
+        assert co.vpu_attention_wins(48, 8, 8, "bfloat16", path) is True
+        assert co.vpu_attention_wins(192, 8, 8, "bfloat16", path) is False
+        assert co.vpu_attention_wins(512, 8, 8, "bfloat16", path) is False
+        # no matrix at all -> einsum
+        assert co.vpu_attention_wins(40, 8, 8, "bfloat16", "/nonexistent") \
+            is False
+    finally:
+        os.unlink(path)

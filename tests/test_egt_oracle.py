@@ -161,3 +161,39 @@ def test_split_qkv_layout():
                                x[0, 0, : d * h].reshape(d, h))
     np.testing.assert_allclose(np.asarray(k[0, 0]),
                                x[0, 0, d * h: 2 * d * h].reshape(d, h))
+
+
+def test_vpu_impl_matches_einsum():
+    """attention_impl='vpu' computes the same op as the einsum path via
+    elementwise/reduce chains (no MXU dots) — models/egt.py::_qk_logits_vpu,
+    _av_vpu. On the CPU backend both paths are exact f32, so they agree to
+    reassociation error."""
+    rng = np.random.default_rng(7)
+    qkv, e, g, mask = make_inputs(rng, b=3, l=14)
+    kw = dict(num_heads=4, node_mask=jnp.asarray(mask), scale_degree=True,
+              scaler_type="log")
+    o_ein = egt_attention(jnp.asarray(qkv), jnp.asarray(e), jnp.asarray(g),
+                          impl="einsum", **kw)
+    o_vpu = egt_attention(jnp.asarray(qkv), jnp.asarray(e), jnp.asarray(g),
+                          impl="vpu", **kw)
+    np.testing.assert_allclose(np.asarray(o_vpu.h_hat),
+                               np.asarray(o_ein.h_hat), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(o_vpu.a_tild),
+                               np.asarray(o_ein.a_tild), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(o_vpu.v_att),
+                               np.asarray(o_ein.v_att), atol=1e-5)
+
+
+def test_vpu_impl_grads_match():
+    def loss(qkv, e, g, impl):
+        out = egt_attention(qkv, e, g, num_heads=4, impl=impl)
+        return jnp.sum(out.v_att ** 2) + jnp.sum(out.h_hat ** 2)
+
+    rng = np.random.default_rng(8)
+    qkv, e, g, _ = make_inputs(rng, b=2, l=10)
+    args = (jnp.asarray(qkv), jnp.asarray(e), jnp.asarray(g))
+    g_ein = jax.grad(loss, argnums=(0, 1, 2))(*args, "einsum")
+    g_vpu = jax.grad(loss, argnums=(0, 1, 2))(*args, "vpu")
+    for a, b_ in zip(g_ein, g_vpu):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-4, rtol=1e-4)

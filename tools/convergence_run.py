@@ -64,6 +64,8 @@ def run_jax(args):
     corpus = os.path.splitext(os.path.basename(args.data))[0]
     name = f"jax_{corpus}_s{args.seed}"
     cfg = dict(RECIPES[args.scheme])
+    if args.impl:
+        name += f"_{args.impl.replace('+', '_')}"
     cfg.update(
         distributed=False, num_epochs=args.epochs, seed=args.seed,
         model_name=name,
@@ -72,6 +74,10 @@ def run_jax(args):
         save_path=os.path.join(args.workdir, name),
         compute_dtype=args.dtype, use_pallas="auto",
     )
+    if args.impl:
+        # e.g. 'vpu+c16' pins the elementwise attention + bf16 chain pair
+        cfg.update(attention_impl=args.impl.split("+")[0],
+                   attn_chain_f32="c16" not in args.impl)
     scheme = import_scheme(args.scheme)
     t = scheme(cfg)
     t.execute_training()
@@ -156,6 +162,8 @@ def main():
         p.add_argument("--seed", type=int, default=0)
         if name == "jax":
             p.add_argument("--dtype", default="bfloat16")
+            p.add_argument("--impl", default=None,
+                           help="pin attention impl, e.g. vpu+c16")
     p = sub.add_parser("report")
     p.add_argument("--metric", default="mae")
     p.add_argument("logs", nargs="+")

@@ -51,9 +51,21 @@ def build(shape, dtype, path, training=True):
         use_svd=True, num_svd_features=16, sel_svd_features=8,
         transform_svd=True, random_neg=True, compute_dtype=dtype,
     )
-    cfg.fused_attention = path in ("attn", "attn+edge")
-    cfg.fused_edge_block = path in ("edge", "attn+edge")
-    cfg.fused_layer = path == "layer"
+    base, _, mods = path.partition("+")
+    mods = mods.split("+") if mods else []
+    if base == "auto":
+        # the engine defaults: every dispatch resolved per traced shape from
+        # the measured crossover matrix (ops/crossover.py)
+        cfg.fused_attention = "auto"
+        cfg.attention_impl = "auto"
+    else:
+        cfg.fused_attention = base == "attn"
+        # 'xla' pins the einsum chain; 'vpu' the elementwise chain (no dots)
+        cfg.attention_impl = "vpu" if base == "vpu" else "einsum"
+    cfg.fused_edge_block = base == "edge" or "edge" in mods
+    cfg.fused_layer = base == "layer"
+    cfg.remat = "remat" in mods
+    cfg.attn_chain_f32 = "c16" not in mods  # +c16: bf16 per-pair chain
     model = EGTGraphModel(cfg)
     params = model.init(jax.random.PRNGKey(0))
 
@@ -144,13 +156,13 @@ def main():
                         dt, comp, loss = timeit(step, params, opt, batch,
                                                 iters=args.iters)
                         row = {"shape": sname, "path": path, "dtype": dtype,
-                               "l": l, "ew": ew, "b": b,
+                               "l": l, "ew": ew, "b": b, "w": w, "h": h,
                                "ms_per_step": round(dt * 1e3, 3),
                                "graphs_per_sec": round(shape[0] / dt, 1),
                                "compile_s": round(comp, 1)}
                     except Exception as e:
                         row = {"shape": sname, "path": path, "dtype": dtype,
-                               "l": l, "ew": ew, "b": b,
+                               "l": l, "ew": ew, "b": b, "w": w, "h": h,
                                "error": f"{type(e).__name__}: {e}"}
                     rows.append(row)
                     print(row, file=sys.stderr, flush=True)

@@ -1,8 +1,8 @@
 """Throughput benchmark: EGT training step on one chip, at the flagship ZINC
-shape plus the two shapes where the Pallas attention kernel is auto-ON
-(PATTERN l=192, TSP l=512) — so the headline artifact exercises both the XLA
-and the TPU-kernel paths, with MEASURED (traced) utilization next to the
-analytic model.
+shape plus PATTERN l=192 and TSP l=512 — with "auto" dispatch these exercise
+all three attention paths the engine ships (round-3 matrix: vpu+bf16-chain at
+zinc/pattern, the Pallas kernel at tsp), with MEASURED (traced) utilization
+next to the analytic model.
 
 Prints ONE JSON line. Headline metric stays zinc500k graphs/s (best-of-5,
 comparable to BENCH_r01/r02) with the median alongside; each shape carries:

@@ -183,10 +183,17 @@ def _auto_fused(cfg, l: int) -> bool:
     length compiles its own program, so small buckets keep the einsum path
     even when the dataset-wide max crosses the kernel's crossover. The
     decision rule is DERIVED from the measured matrix (CROSSOVER_MATRIX.json,
-    v5e bf16 train step — kernel wins at PATTERN l=192 +18% and TSP l=512
-    +10%, ties at CIFAR l=160, loses below; see ops/crossover.py)."""
+    v5e bf16 train step; see ops/crossover.py). When attention_impl is also
+    "auto" the decision is the JOINT argmin over {Pallas kernel, einsum, vpu}
+    — the round-3 sweep measured vpu+c16 beating the kernel at l=192, so a
+    kernel-first rule cascade would dispatch a measured loser."""
     if cfg.fused_attention == "auto":
-        from ..ops.crossover import fused_attention_wins
+        from ..ops.crossover import auto_dispatch, fused_attention_wins
+        if getattr(cfg, "attention_impl", "auto") == "auto":
+            return auto_dispatch(l, cfg.edge_width,
+                                 cfg.model_width // cfg.num_heads,
+                                 cfg.num_heads,
+                                 str(cfg.compute_dtype)) == "attn"
         return fused_attention_wins(l, cfg.edge_width, str(cfg.compute_dtype))
     return bool(cfg.fused_attention)
 
@@ -262,9 +269,16 @@ def _resolve_attention_impl(cfg, l: int) -> tuple[str, bool]:
     impl = getattr(cfg, "attention_impl", "auto")
     chain_f32 = bool(getattr(cfg, "attn_chain_f32", True))
     if impl == "auto":
-        from ..ops.crossover import vpu_attention_wins
-        if vpu_attention_wins(l, cfg.model_width // cfg.num_heads,
-                              cfg.num_heads, str(cfg.compute_dtype)):
+        from ..ops.crossover import auto_dispatch, vpu_attention_wins
+        d = cfg.model_width // cfg.num_heads
+        if cfg.fused_attention == "auto":
+            # same joint argmin as _auto_fused, so the two sites agree
+            win = auto_dispatch(l, cfg.edge_width, d, cfg.num_heads,
+                                str(cfg.compute_dtype)) == "vpu"
+        else:
+            win = vpu_attention_wins(l, d, cfg.num_heads,
+                                     str(cfg.compute_dtype))
+        if win:
             return "vpu", False
         return "einsum", chain_f32
     return impl, chain_f32
@@ -558,8 +572,13 @@ def layer_forward(p, cfg, h, e, node_mask, edge_mask, training, rng, sp,
 
 def can_fuse_edge_block(cfg, training: bool, sp, capture: bool) -> bool:
     """The fused Pallas edge block applies to the pre-LN LayerNorm residual edge
-    channel without dropout or cross-talk (see ops/edge_block_pallas.py)."""
+    channel without dropout or cross-talk (see ops/edge_block_pallas.py).
+    edge_width >= 64: the kernel's flattened (b*l*l, ew) operands are lane-
+    padded to 128 in HBM by the custom-call layout, so narrow edge channels
+    (ew=8: 16x padding, measured 33GB at the PATTERN shape) are structurally
+    unsupportable — the kernel's measured win region is ew >= 128 anyway."""
     return (getattr(cfg, "fused_edge_block", False)
+            and cfg.edge_width >= 64
             and sp is None and not capture
             and cfg.edge_channel_type in ("residual", "constrained")
             and not cfg.add_n_norm

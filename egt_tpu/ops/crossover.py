@@ -51,9 +51,11 @@ def _load_rows(path: str | None):
         return []
 
 
-def measured_points(rows, dtype: str = "bfloat16"):
+def measured_points(rows, dtype: str = "bfloat16", vs_best: bool = False):
     """-> {(l, ew): attn_wins} for every (shape, dtype) with both the xla and
-    attn train-step cells measured."""
+    attn train-step cells measured. With `vs_best` the kernel must beat the
+    best NON-Pallas path (min of the xla and vpu/vpu+c16 cells) — the joint
+    auto dispatch compares against what would actually run instead."""
     by_shape = {}
     for r in rows:
         if r.get("dtype", "bfloat16") != dtype or "ms_per_step" not in r:
@@ -71,16 +73,20 @@ def measured_points(rows, dtype: str = "bfloat16"):
             l, ew = _LEGACY_SHAPES[name]
         else:
             continue
-        points[(l, ew)] = (cells["attn"]["ms_per_step"]
-                           < cells["xla"]["ms_per_step"])
+        ref = cells["xla"]["ms_per_step"]
+        if vs_best:
+            vpu_cell = cells.get("vpu+c16") or cells.get("vpu")
+            if vpu_cell is not None:
+                ref = min(ref, vpu_cell["ms_per_step"])
+        points[(l, ew)] = cells["attn"]["ms_per_step"] < ref
     return points
 
 
-def derive_thresholds(rows, dtype: str = "bfloat16"):
+def derive_thresholds(rows, dtype: str = "bfloat16", vs_best: bool = False):
     """-> {ew: l_threshold} (attn wins iff l >= threshold), one entry per
     measured edge width, geometric-midpoint placement with all-ew fallback for
     one-sided edge widths."""
-    points = measured_points(rows, dtype)
+    points = measured_points(rows, dtype, vs_best)
     if not points:
         return {}
     all_xla = [l for (l, _), wins in points.items() if not wins]
@@ -171,3 +177,61 @@ def vpu_attention_wins(l: int, d: int, h: int, dtype: str = "bfloat16",
         return False
     key = min(points, key=lambda p: (abs(p[1] - d), abs(p[0] - l)))
     return points[key]
+
+
+def best_paths(rows, dtype: str = "bfloat16"):
+    """-> {(l, ew, d, h): 'xla'|'attn'|'vpu'} — the measured train-step argmin
+    among the three auto-dispatchable attention paths at every swept shape
+    ('vpu+c16' rows stand in for 'vpu': the shipped vpu mode is the pair).
+    Rationale: the r2 design ran two INDEPENDENT rules (Pallas-vs-xla
+    threshold, then vpu-vs-xla) with Pallas taking precedence; the round-3
+    sweep measured vpu+c16 BEATING the Pallas kernel at pattern l=192, so the
+    joint decision must be a single argmin, not a rule cascade."""
+    by_shape = {}
+    for r in rows:
+        if r.get("dtype", "bfloat16") != dtype or "ms_per_step" not in r:
+            continue
+        by_shape.setdefault(r["shape"], {})[r["path"]] = r
+    out = {}
+    for cells in by_shape.values():
+        ref = cells.get("xla")
+        if ref is None or not {"l", "ew", "w", "h"} <= ref.keys():
+            continue
+        cand = {"xla": ref}
+        if "attn" in cells:
+            cand["attn"] = cells["attn"]
+        vpu_cell = cells.get("vpu+c16") or cells.get("vpu")
+        if vpu_cell is not None:
+            cand["vpu"] = vpu_cell
+        key = (int(ref["l"]), int(ref["ew"]),
+               int(ref["w"]) // int(ref["h"]), int(ref["h"]))
+        out[key] = min(cand, key=lambda p: cand[p]["ms_per_step"])
+    return out
+
+
+@functools.lru_cache(maxsize=4)
+def _thresholds_vs_best_cached(dtype: str, path: str | None):
+    return derive_thresholds(_load_rows(path), dtype, vs_best=True)
+
+
+def auto_dispatch(l: int, ew: int, d: int, h: int, dtype: str = "bfloat16",
+                  path: str | None = None) -> str:
+    """Joint auto rule when BOTH `use_pallas` and `attention_impl` are "auto".
+    Cascade over the measured matrix, but with the Pallas kernel judged
+    against the best NON-Pallas path (vs_best thresholds): at every measured
+    point this equals the three-way argmin
+    (tests/test_crossover.py::test_shipped_matrix_dispatch_agrees_with_argmin),
+    while extrapolation stays conditioned the way each contest actually
+    scales — per edge width for the kernel (its win amortizes the edge-stream
+    share), per (head dim, l) for the vpu chains. No matrix: the legacy l>=176
+    attn threshold."""
+    thresholds = _thresholds_vs_best_cached(dtype, path)
+    if thresholds:
+        ew_key = min(thresholds, key=lambda e: abs(e - ew))
+        if l >= thresholds[ew_key]:
+            return "attn"
+    elif l >= _DEFAULT_THRESHOLD:
+        return "attn"
+    if vpu_attention_wins(l, d, h, dtype, path):
+        return "vpu"
+    return "xla"

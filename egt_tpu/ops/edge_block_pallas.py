@@ -45,8 +45,12 @@ _VMEM_BUDGET_ELEMS = 1_500_000  # ~6MB of f32 live per program (scoped limit 16M
 
 def _pick_rows(n: int, h: int, ew: int, hidden: int) -> int:
     """Rows per program bounded by the live f32 footprint of the backward pass
-    (~6 ew-wide + ~3 hidden-wide intermediates per row)."""
-    per_row = h + 6 * ew + 3 * hidden
+    (~6 ew-wide + ~3 hidden-wide intermediates per row). Each width occupies
+    full 128-element vector lanes in VMEM, so narrow feature dims (ew=8 on the
+    SBM shapes) cost 128 lanes per row — without this rounding the picked
+    block overflows the 16MB scoped-vmem stack limit."""
+    lanes = lambda f: -(-f // 128) * 128
+    per_row = lanes(h) + 6 * lanes(ew) + 3 * lanes(hidden)
     max_rows = max(8, (_VMEM_BUDGET_ELEMS // per_row) // 8 * 8)
     if n <= max_rows:
         return n

@@ -37,14 +37,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e9
 
-# per-pair VMEM buffers are (q_block, l) f32; cap q_block * l so the ~6 live
-# buffers stay well inside VMEM
+# per-pair VMEM buffers are (q_block, l); cap q_block * l so the ~6 live
+# buffers stay well inside the 16MB scoped limit. The cap is calibrated for
+# 2-byte storage (bf16); 4-byte dtypes halve it — at f32 l=512 the backward's
+# live (qb, lk) buffers otherwise overflow the scoped-vmem stack.
 _MAX_QL_ELEMS = 512 * 512
 
 
-def _pick_q_block(lq: int, lk: int) -> int:
+def _pick_q_block(lq: int, lk: int, itemsize: int = 2) -> int:
     """Query-row block: divides lq; per-pair buffers are (qb, lk)."""
-    max_qb = max(8, _MAX_QL_ELEMS // max(lk, 1))
+    max_qb = max(8, (_MAX_QL_ELEMS * 2 // max(itemsize, 2)) // max(lk, 1))
     if lq <= max_qb:
         return lq
     for qb in range(max_qb, 7, -1):
@@ -334,7 +336,7 @@ def _egt_core_fwd(q, k, v, e, g, masks, seed, clip, random_mask_prob,
     has_full_mask = maddf is not None
     clip_lo, clip_hi = (clip if clip is not None else (None, None))
     scale = d ** -0.5
-    qb = _pick_q_block(lq, lk)
+    qb = _pick_q_block(lq, lk, q.dtype.itemsize)
 
     q_blk, kv_full, ql_blk, madd_spec, maddf_spec, deg_spec, _ = _specs(lk, d, qb)
 
@@ -396,7 +398,7 @@ def _egt_core_bwd_impl(clip, random_mask_prob, attn_dropout, training, gated,
     has_full_mask = maddf is not None
     clip_lo, clip_hi = (clip if clip is not None else (None, None))
     scale = d ** -0.5
-    qb = _pick_q_block(lq, lk)
+    qb = _pick_q_block(lq, lk, q.dtype.itemsize)
 
     q_blk, kv_full, ql_blk, madd_spec, maddf_spec, deg_spec, kv_acc = _specs(
         lk, d, qb)

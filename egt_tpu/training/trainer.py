@@ -223,9 +223,11 @@ class TrainingBase:
         cfg = self.get_model_config()
         cfg.max_length = self.pad_len
         up = self.config.use_pallas
-        # 'auto' is resolved per traced shape inside the model against the
-        # measured per-edge-width thresholds (CROSSOVER_MATRIX.json via
-        # ops/crossover.py), so length buckets each pick their best path
+        # 'auto' is resolved per traced shape inside the model from the
+        # measured matrix (CROSSOVER_MATRIX.json via ops/crossover.py): with
+        # attention_impl also 'auto' the joint rule picks the argmin of
+        # {Pallas kernel, einsum, vpu} per shape, so length buckets each pick
+        # their best path
         cfg.fused_attention = "auto" if up == "auto" else bool(up)
         cfg.fused_edge_block = bool(self.config.use_pallas_edge)
         cfg.attention_impl = str(self.config.attention_impl)

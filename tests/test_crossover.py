@@ -138,3 +138,66 @@ def test_vpu_rule_from_matrix():
             is False
     finally:
         os.unlink(path)
+
+
+def _row(shape, path, l, ew, w, h, ms):
+    return {"shape": shape, "path": path, "dtype": "bfloat16", "l": l,
+            "ew": ew, "w": w, "h": h, "b": 128, "ms_per_step": ms}
+
+
+def test_best_paths_argmin():
+    """The joint auto rule is the per-shape argmin over {xla, attn, vpu} —
+    including the measured round-3 case where vpu+c16 beats the Pallas kernel
+    at l=192 (a kernel-first cascade would dispatch a loser)."""
+    from egt_tpu.ops import crossover as co
+    rows = [
+        _row("z", "xla", 40, 64, 64, 8, 15.2),
+        _row("z", "attn", 40, 64, 64, 8, 30.0),
+        _row("z", "vpu+c16", 40, 64, 64, 8, 13.7),
+        _row("p", "xla", 192, 8, 64, 8, 297.0),
+        _row("p", "attn", 192, 8, 64, 8, 252.0),
+        _row("p", "vpu+c16", 192, 8, 64, 8, 226.0),
+        _row("m", "xla", 80, 64, 96, 8, 10.0),
+        _row("m", "attn", 80, 64, 96, 8, 12.0),
+        _row("m", "vpu", 80, 64, 96, 8, 14.0),
+        _row("t", "xla", 512, 64, 64, 8, 100.0),
+        _row("t", "attn", 512, 64, 64, 8, 90.0),
+    ]
+    bp = co.best_paths(rows, "bfloat16")
+    assert bp == {(40, 64, 8, 8): "vpu", (192, 8, 8, 8): "vpu",
+                  (80, 64, 12, 8): "xla", (512, 64, 8, 8): "attn"}
+    import json, os, tempfile
+    fd, path = tempfile.mkstemp(suffix=".json")
+    with os.fdopen(fd, "w") as fp:
+        json.dump(rows, fp)
+    try:
+        # exact points dispatch their argmin
+        assert co.auto_dispatch(40, 64, 8, 8, "bfloat16", path) == "vpu"
+        assert co.auto_dispatch(192, 8, 8, 8, "bfloat16", path) == "vpu"
+        assert co.auto_dispatch(80, 64, 12, 8, "bfloat16", path) == "xla"
+        assert co.auto_dispatch(512, 64, 8, 8, "bfloat16", path) == "attn"
+        # unmeasured shapes: attn by the vs-best per-ew bracket (the only
+        # measured win is l=512 ew=64, losses below at 80 -> threshold
+        # sqrt(80*512)~202), else the nearest-(d,l) vpu rule
+        assert co.auto_dispatch(48, 48, 6, 8, "bfloat16", path) == "vpu"
+        assert co.auto_dispatch(256, 8, 8, 8, "bfloat16", path) == "attn"
+        assert co.auto_dispatch(400, 64, 8, 8, "bfloat16", path) == "attn"
+        # no matrix: legacy threshold, attn iff l >= 176
+        assert co.auto_dispatch(40, 64, 8, 8, "bfloat16", "/nonexistent") \
+            == "xla"
+        assert co.auto_dispatch(192, 8, 8, 8, "bfloat16", "/nonexistent") \
+            == "attn"
+    finally:
+        os.unlink(path)
+
+
+def test_shipped_matrix_dispatch_agrees_with_argmin():
+    """Every measured point of the COMMITTED matrix dispatches its own
+    argmin path (VERDICT r2 item 7, extended to the three-way rule)."""
+    import json
+
+    from egt_tpu.ops import crossover as co
+    rows = json.load(open(co.matrix_path()))
+    for dtype in sorted({r.get("dtype", "bfloat16") for r in rows}):
+        for (l, ew, d, h), path in co.best_paths(rows, dtype).items():
+            assert co.auto_dispatch(l, ew, d, h, dtype) == path

@@ -120,7 +120,12 @@ class GraphModelConfig:
     #   (ops/fused_layer_pallas.py); subsumes the two kernels above for the
     #   pre-LN residual/constrained family
     compute_dtype: str = "float32"        # float32 | bfloat16
-    remat: bool = False                   # per-layer rematerialization
+    remat: bool | str = False             # per-layer rematerialization:
+    #   True recomputes the whole layer in the backward pass; "dots" keeps
+    #   every matmul output resident (jax.checkpoint_policies.
+    #   dots_with_no_batch_dims_saveable) and recomputes only the elementwise
+    #   per-pair chain (clip/+E/mask/softmax/gate) — the quadratic HBM-traffic
+    #   saves without re-running the FFN/projection GEMMs full remat re-pays
 
     def __post_init__(self):
         if self.scale_degree and not self.gate_attention:
@@ -539,11 +544,15 @@ class EGTGraphModel:
                                    training, rng_l, sp, capture_analysis, idx)
 
         use_remat = cfg.remat and not capture_analysis
+        remat_kw = {}
+        if cfg.remat == "dots":
+            remat_kw["policy"] = \
+                jax.checkpoint_policies.dots_with_no_batch_dims_saveable
         for i in range(cfg.model_height):
             rng_l = None if rng is None else L.fold_rng(rng, 1000 + i)
             fn = run_layer
             if use_remat:
-                fn = jax.checkpoint(run_layer, static_argnums=(4,))
+                fn = jax.checkpoint(run_layer, static_argnums=(4,), **remat_kw)
             h, e, node_repr, edge_repr, updates, analysis = fn(
                 layer_params[i], h, e, rng_l, i)
             ctx.analysis.update(analysis)

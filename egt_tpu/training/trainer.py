@@ -233,7 +233,10 @@ class TrainingBase:
         cfg.attention_impl = str(self.config.attention_impl)
         cfg.attn_chain_f32 = bool(self.config.attn_chain_f32)
         cfg.compute_dtype = self.config.compute_dtype
-        cfg.remat = bool(self.config.remat)
+        # False | True | "dots" (selective: matmul outputs stay resident,
+        # the elementwise per-pair chain is recomputed)
+        rm = self.config.remat
+        cfg.remat = rm if rm == "dots" else bool(rm)
         self.model_config = cfg
         self.model = EGTGraphModel(cfg)
         self.params = self.model.init(jax.random.PRNGKey(self.config.seed))

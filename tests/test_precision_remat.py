@@ -45,6 +45,30 @@ def test_remat_matches_exact():
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_remat_dots_matches_exact():
+    """Selective remat ("dots": matmul outputs resident, elementwise per-pair
+    chain recomputed) must be a pure scheduling change — same loss/grads."""
+    rng = np.random.default_rng(4)
+    batch = random_zinc_batch(rng)
+    params = EGTGraphModel(small_cfg()).init(jax.random.PRNGKey(0))
+
+    m_plain = EGTGraphModel(small_cfg())
+    m_rdots = EGTGraphModel(small_cfg(remat="dots"))
+
+    def loss(model, p):
+        out, _ = model.apply(p, batch)
+        return (out ** 2).sum()
+
+    np.testing.assert_allclose(float(loss(m_plain, params)),
+                               float(loss(m_rdots, params)), rtol=1e-6)
+    g1 = jax.grad(lambda p: loss(m_plain, p))(params)
+    g2 = jax.grad(lambda p: loss(m_rdots, p))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_remat_training_stochastic_runs():
     rng = np.random.default_rng(2)
     batch = random_zinc_batch(rng)

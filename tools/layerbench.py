@@ -64,7 +64,9 @@ def build(shape, dtype, path, training=True):
         cfg.attention_impl = "vpu" if base == "vpu" else "einsum"
     cfg.fused_edge_block = base == "edge" or "edge" in mods
     cfg.fused_layer = base == "layer"
-    cfg.remat = "remat" in mods
+    # +remat: full per-layer recompute; +rdots: selective (dot outputs stay
+    # resident, only the elementwise per-pair chain is recomputed)
+    cfg.remat = "dots" if "rdots" in mods else ("remat" in mods)
     cfg.attn_chain_f32 = "c16" not in mods  # +c16: bf16 per-pair chain
     model = EGTGraphModel(cfg)
     params = model.init(jax.random.PRNGKey(0))

@@ -116,6 +116,8 @@ def main():
 
     from tools.layerbench import SHAPES
 
+    from egt_tpu.ops.crossover import auto_dispatch
+
     log(f"devices: {jax.devices()}")
     results = {}
     for name in BENCH_SHAPES:
@@ -126,6 +128,21 @@ def main():
         res["mfu_analytic"] = round(m.mfu(res["graphs_per_sec"]), 4)
         res["hbm_bw_util_lb"] = round(
             m.hbm_bw_util_lower_bound(res["graphs_per_sec"]), 4)
+        # anchor EVERY shape, not just the headline: the measured-rule
+        # dispatch path, the chip's per-step floor, and the V100/TF2
+        # roofline-derived baseline this shape would run at
+        res["dispatch_path"] = auto_dispatch(l, ew, w // h, h, "bfloat16")
+        res["roofline_floor_ms"] = round(m.roofline_floor_ms_per_step(), 3)
+        shape_baseline = v100_tf2_baseline_graphs_per_sec(m)
+        res["baseline_graphs_per_sec"] = round(shape_baseline, 1)
+        res["vs_baseline"] = round(res["graphs_per_sec"] / shape_baseline, 3)
+        if ew <= 8:
+            # MFU is low BY DESIGN here: at edge width 8 the step is
+            # dominated by l^2-sized elementwise/VPU work (softmax/gate
+            # chain, edge FFN at width 8-16), not MXU matmuls — the right
+            # utilization lens is HBM, not FLOPs
+            res["mfu_note"] = ("ew=8: step is elementwise/VPU-dominated by "
+                               "design; HBM util is the binding roofline")
         results[name] = res
 
     z = results[HEADLINE]

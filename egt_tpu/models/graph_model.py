@@ -114,7 +114,9 @@ class GraphModelConfig:
     attn_chain_f32: bool = True           # False: logits/softmax/gate chain in
     #   the compute dtype (bf16 halves its HBM traffic; accumulations stay f32)
     fused_attention: bool | str = False   # Pallas kernel (ops/egt_pallas.py);
-    #   True | False | "auto" (per-traced-shape l>=256 crossover)
+    #   True | False | "auto" (per-traced-shape measured rule: with
+    #   attention_impl "auto" the joint vs-best argmin — bf16 admits the
+    #   kernel at l >= ~286 for ew=64; ops/crossover.py::auto_dispatch)
     fused_edge_block: bool = False        # Pallas kernel (ops/edge_block_pallas.py)
     fused_layer: bool = False             # whole-layer Pallas megakernel
     #   (ops/fused_layer_pallas.py); subsumes the two kernels above for the

@@ -171,11 +171,20 @@ def vpu_attention_wins(l: int, d: int, h: int, dtype: str = "bfloat16",
     """The `attention_impl: "auto"` decision — should the non-Pallas attention
     run the VPU elementwise chains instead of the MXU einsums at this traced
     shape? Decided by the nearest measured (d, l) point of the crossover
-    matrix; with nothing measured the einsum path stands."""
+    matrix; with nothing measured the einsum path stands. Far OUTSIDE the
+    measured band the nearest-point rule would be a silent guess, so queries
+    with no measured head dim within +/-2 or a length beyond 2x the nearest
+    head dim's measured l range fall back to the einsum path (never a bad
+    dispatch where vpu is unmeasured)."""
     points = _vpu_points_cached(dtype, path)
     if not points:
         return False
     key = min(points, key=lambda p: (abs(p[1] - d), abs(p[0] - l)))
+    if abs(key[1] - d) > 2:
+        return False
+    band = [p[0] for p in points if p[1] == key[1]]
+    if not (min(band) / 2 <= l <= max(band) * 2):
+        return False
     return points[key]
 
 

@@ -202,6 +202,7 @@ def _rows_fwd(hh, er, w_r, b_r, gamma, beta, w1, b1, w2, b2):
         out_specs=_row_spec(r, ew),
         out_shape=jax.ShapeDtypeStruct((n, ew), er.dtype),
         interpret=_interpret(),
+        name="edge_block_fwd",
     )(hh, er, w_r, args2[0], args2[1], args2[2], w1, args2[3], w2, args2[4])
     return out, (hh, er, w_r, b_r, gamma, beta, w1, b1, w2, b2)
 
@@ -234,6 +235,7 @@ def _rows_bwd(residuals, g):
             jax.ShapeDtypeStruct((1, ew), f32),
         ],
         interpret=_interpret(),
+        name="edge_block_bwd",
     )(hh, er, w_r, args2[0], args2[1], args2[2], w1, args2[3], w2, args2[4], g)
     (dhh, der, dw_r, db_r, dgamma, dbeta, dw1, db1, dw2, db2) = outs
     return (dhh, der,

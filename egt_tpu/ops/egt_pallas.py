@@ -377,6 +377,7 @@ def _egt_core_fwd(q, k, v, e, g, masks, seed, clip, random_mask_prob,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=_interpret(),
+        name="egt_attention_fwd",
     )(seed, *inputs)
 
     if gated:
@@ -449,6 +450,7 @@ def _egt_core_bwd_impl(clip, random_mask_prob, attn_dropout, training, gated,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=_interpret(),
+        name="egt_attention_bwd",
     )(seed, *inputs)
 
     if gated:

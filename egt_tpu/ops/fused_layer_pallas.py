@@ -852,6 +852,7 @@ def _fused_layer_fwd_call(spec: LayerSpec, seed, e2, q, kt, v, mask, amask, w):
             in_specs=in_specs + wspecs, out_specs=out_specs),
         out_shape=out_shape,
         interpret=_interpret(),
+        name="fused_layer_fwd",
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(seed, *args)
@@ -926,6 +927,7 @@ def _fused_layer_bwd_call(spec: LayerSpec, seed, e2, q, kt, v, mask, amask, w,
             scratch_shapes=scratch_shapes),
         out_shape=out_shape,
         interpret=_interpret(),
+        name="fused_layer_bwd",
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(seed, *args)

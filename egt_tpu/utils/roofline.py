@@ -82,6 +82,18 @@ class ShapeModel:
         return (graphs_per_sec * self.min_train_hbm_bytes_per_graph()
                 / V5E_HBM_BYTES_PER_S)
 
+    def roofline_floor_ms_per_step(self, dtype: str = "bfloat16") -> float:
+        """Per-step time floor on this chip: the slower of the MXU at peak on
+        the analytic train FLOPs and the HBM at peak on the lower-bound
+        traffic. Real steps sit above this by whatever traffic XLA adds over
+        the bound (bench.py reports both so the gap is visible per shape)."""
+        peak = (V5E_PEAK_FLOPS_BF16 if dtype == "bfloat16"
+                else V5E_PEAK_FLOPS_F32)
+        t_flops = self.b * self.train_flops_per_graph() / peak
+        t_bytes = (self.b * self.min_train_hbm_bytes_per_graph()
+                   / V5E_HBM_BYTES_PER_S)
+        return 1e3 * max(t_flops, t_bytes)
+
 
 def v100_tf2_baseline_graphs_per_sec(m: ShapeModel) -> float:
     """Roofline-derived estimate of the TF2 reference on one V100 (fp32),

@@ -47,9 +47,13 @@ def test_thresholds_monotone_semantics():
                if e == ew}
         for l, wins in pts.items():
             if wins:
-                assert l >= t or math.isinf(t) is False
+                assert math.isfinite(t) and l >= t, (
+                    f"measured win at l={l} sits below the derived "
+                    f"threshold {t} (ew={ew})")
             else:
-                assert l < t
+                assert l < t, (
+                    f"measured loss at l={l} sits at/above the derived "
+                    f"threshold {t} (ew={ew})")
 
 
 def test_model_auto_follows_rule():

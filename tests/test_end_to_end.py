@@ -111,6 +111,8 @@ def test_use_pallas_auto(workdir, tmp_path):
     class _Probe:
         fused_attention = "auto"
         edge_width = 64
+        model_width = 64
+        num_heads = 8
         compute_dtype = "bfloat16"
 
     # the layer-level decision: einsum below the measured ew=64 crossover,

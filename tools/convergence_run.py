@@ -56,7 +56,10 @@ TSP_500K = dict(
 )
 # the shipped EGT-Large recipe (configs/pcqm4mv2/egt_large.json) — the 143M-param
 # dress rehearsal (VERDICT r2 item 8). warmup/total_steps are corpus-scale
-# dependent; pass them via --override for synthetic-corpus runs.
+# dependent; pass them via --override for synthetic-corpus runs. Kernel
+# selection intentionally follows the tool default (use_pallas='auto' set in
+# run_jax) rather than the config file's pinned use_pallas=false — the
+# rehearsal exercises the shipped dispatch rule at the large shape.
 PCQM_LARGE = dict(
     scheme="pcqm4mv2.base", batch_size=1024, initial_lr=2e-4,
     rlr_factor=1.0, model_width=768, edge_width=64, model_height=30,
@@ -66,6 +69,14 @@ PCQM_LARGE = dict(
 )
 RECIPES = {"zinc.svd": BASE_500K, "pattern.svd": PATTERN_500K,
            "tsp.svd": TSP_500K, "pcqm4mv2.base": PCQM_LARGE}
+# schemes that exist in the reference stack (/root/reference has no
+# lib/training/schemes/pcqm4mv2 — that recipe is JAX-only)
+TF_RECIPES = sorted(set(RECIPES) - {"pcqm4mv2.base"})
+
+
+def _short_hash(text: str) -> str:
+    import hashlib
+    return hashlib.sha1(text.encode()).hexdigest()[:8]
 
 
 def run_jax(args):
@@ -76,6 +87,10 @@ def run_jax(args):
     cfg = dict(RECIPES[args.scheme])
     if args.impl:
         name += f"_{args.impl.replace('+', '_')}"
+    if args.override:
+        # distinct save_path per override set, so two runs differing only by
+        # override don't clobber each other's logs/checkpoints
+        name += "_o" + _short_hash(args.override)
     cfg.update(
         distributed=False, num_epochs=args.epochs, seed=args.seed,
         model_name=name,
@@ -168,7 +183,9 @@ def main():
     for name in ("jax", "tf"):
         p = sub.add_parser(name)
         p.add_argument("--data", required=True)
-        p.add_argument("--scheme", default="zinc.svd", choices=sorted(RECIPES))
+        p.add_argument("--scheme", default="zinc.svd",
+                       choices=sorted(RECIPES) if name == "jax"
+                       else TF_RECIPES)
         p.add_argument("--workdir", default="/root/convergence")
         p.add_argument("--epochs", type=int, default=60)
         p.add_argument("--seed", type=int, default=0)

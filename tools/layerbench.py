@@ -32,7 +32,7 @@ SHAPES = {
 }
 
 
-def build(shape, dtype, path, training=True):
+def build(shape, dtype, path, training=True, scan_k: int = 0):
     import jax
     import jax.numpy as jnp
     import optax
@@ -91,6 +91,29 @@ def build(shape, dtype, path, training=True):
         p = optax.apply_updates(p, updates)
         return p, o, loss
 
+    if scan_k:
+        # the engine's steps_per_dispatch mode (trainer.py multi_step): K
+        # steps per device dispatch via lax.scan — one RPC per K steps, so
+        # host/tunnel dispatch latency stops shadowing the device step
+        batches = jax.tree_util.tree_map(
+            lambda x: jnp.stack([x] * scan_k), batch)
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def train_step_k(p, o, bts, key):
+            def body(carry, inp):
+                p, o = carry
+                bt, ki = inp
+                loss, grads = jax.value_and_grad(loss_fn)(
+                    p, bt, jax.random.fold_in(key, ki))
+                updates, o = optimizer.update(grads, o, p)
+                return (optax.apply_updates(p, updates), o), loss
+
+            (p, o), losses = jax.lax.scan(
+                body, (p, o), (bts, jnp.arange(scan_k, dtype=jnp.int32)))
+            return p, o, losses[-1]
+
+        return train_step_k, params, opt_state, batches
+
     return train_step, params, opt_state, batch
 
 
@@ -121,6 +144,9 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--paths", default="xla,attn,edge,layer")
     ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--scan-k", type=int, default=0,
+                    help="time the engine's steps_per_dispatch mode: K train "
+                    "steps per device dispatch (lax.scan)")
     ap.add_argument("--eval", action="store_true", help="time eval (no bwd/opt)")
     ap.add_argument("--matrix", metavar="OUT.json",
                     help="sweep every SHAPES x --paths x --dtype combination "
@@ -190,10 +216,15 @@ def main():
     for path in args.paths.split(","):
         try:
             step, params, opt, batch = build(shape, args.dtype, path,
-                                             training=not args.eval)
-            dt, comp, loss = timeit(step, params, opt, batch, iters=args.iters)
+                                             training=not args.eval,
+                                             scan_k=args.scan_k)
+            k = max(1, args.scan_k)
+            dt, comp, loss = timeit(step, params, opt, batch,
+                                    iters=max(1, args.iters // k))
+            dt /= k
             print(f"{path:10s} {dt * 1e3:8.3f} ms/step  {b / dt:9.1f} graphs/s"
-                  f"  (compile {comp:.1f}s, loss {loss:.4f})", flush=True)
+                  f"  (compile {comp:.1f}s, loss {loss:.4f}"
+                  f"{f', scan_k={k}' if args.scan_k else ''})", flush=True)
         except Exception as e:
             print(f"{path:10s} FAILED: {type(e).__name__}: {e}", flush=True)
 

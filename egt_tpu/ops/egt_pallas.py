@@ -45,7 +45,12 @@ _MAX_QL_ELEMS = 512 * 512
 
 
 def _pick_q_block(lq: int, lk: int, itemsize: int = 2) -> int:
-    """Query-row block: divides lq; per-pair buffers are (qb, lk)."""
+    """Query-row block: divides lq; per-pair buffers are (qb, lk).
+    EGT_ATTN_QB overrides for tuning sweeps (tools/layerbench.py)."""
+    import os
+    qb_env = os.environ.get("EGT_ATTN_QB")
+    if qb_env:
+        return min(int(qb_env), lq)
     max_qb = max(8, (_MAX_QL_ELEMS * 2 // max(itemsize, 2)) // max(lk, 1))
     if lq <= max_qb:
         return lq

@@ -54,6 +54,11 @@ def _build(l: int, use_pallas, sp_batch: int = 1, dtype="bfloat16"):
         edge_input_kind="tokens", num_node_features=28, num_edge_features=4,
         num_targets=1, readout_kind="graph", upto_hop=2,
         random_mask_prob=0.0, compute_dtype=dtype,
+        # per-layer remat is the honest large-graph config (the measured
+        # throughput loss it costs at the shipped small shapes is the price
+        # of admission here: without it even one layer's saved per-pair
+        # chain exceeds HBM long before the attention itself does)
+        remat=True,
         fused_attention=use_pallas)
     return EGTGraphModel(cfg)
 
@@ -138,8 +143,14 @@ def leg_a_single_chip(lengths, stop_after_oom=True):
     return rows
 
 
-def leg_b_sp_mesh(l: int, sp_values, use_pallas: bool, iters: int = 2):
-    """Edge-partitioned training step at the leg-A OOM shape."""
+def leg_b_sp_mesh(l: int, sp_values, use_pallas: bool, iters: int = 2,
+                  compile_only: bool = False):
+    """Edge-partitioned training step at the leg-A OOM shape. With
+    `compile_only`, lower+compile the SPMD program and report the compiler's
+    per-device memory analysis instead of executing (the virtual CPU mesh
+    shares one host's RAM, so the multi-GiB shapes that motivate sp can be
+    COMPILED per-device-shaped even where executing all shards in one
+    process would not fit)."""
     import numpy as np
 
     import jax
@@ -183,6 +194,28 @@ def leg_b_sp_mesh(l: int, sp_values, use_pallas: bool, iters: int = 2):
                 params, opt, dbatch, jax.random.PRNGKey(1)).compile()
             compile_s = time.time() - t0
             coll = collective_bytes(compiled)
+            row = {
+                "l": l, "devices": sp, "sp": sp, "use_pallas": use_pallas,
+                "compile_s": round(compile_s, 1),
+                "collective_bytes_per_step": coll,
+                "quadratic_activation_gb_per_device": round(
+                    quadratic_activation_bytes(l, l // sp) / 2**30, 2),
+                "quadratic_activation_gb_single_device": round(
+                    quadratic_activation_bytes(l, l) / 2**30, 2),
+            }
+            ma = compiled.memory_analysis()
+            if ma is not None and ma.temp_size_in_bytes:
+                row["compiled_per_device_gb"] = {
+                    "temp": round(ma.temp_size_in_bytes / 2**30, 3),
+                    "arguments": round(ma.argument_size_in_bytes / 2**30, 3),
+                    "output": round(ma.output_size_in_bytes / 2**30, 3),
+                }
+            if compile_only:
+                row["ok"] = "compiled"
+                log(f"[leg B] sp={sp} l={l} pallas={use_pallas}: compiled; "
+                    f"per-device {row.get('compiled_per_device_gb')}")
+                rows.append(row)
+                continue
             params, opt, loss = compiled(params, opt, dbatch,
                                          jax.random.PRNGKey(1))
             jax.block_until_ready(loss)
@@ -192,17 +225,8 @@ def leg_b_sp_mesh(l: int, sp_values, use_pallas: bool, iters: int = 2):
                                              jax.random.PRNGKey(2 + i))
             jax.block_until_ready(loss)
             dt = (time.time() - t0) / iters
-        row = {
-            "l": l, "devices": sp, "sp": sp, "use_pallas": use_pallas,
-            "ok": True, "loss": round(float(loss), 5),
-            "ms_per_step": round(dt * 1e3, 1),
-            "compile_s": round(compile_s, 1),
-            "collective_bytes_per_step": coll,
-            "quadratic_activation_gb_per_device": round(
-                quadratic_activation_bytes(l, l // sp) / 2**30, 2),
-            "quadratic_activation_gb_single_device": round(
-                quadratic_activation_bytes(l, l) / 2**30, 2),
-        }
+        row.update(ok=True, loss=round(float(loss), 5),
+                   ms_per_step=round(dt * 1e3, 1))
         log(f"[leg B] sp={sp} l={l} pallas={use_pallas}: "
             f"{row['ms_per_step']} ms/step, per-device quadratic "
             f"{row['quadratic_activation_gb_per_device']} GiB "
@@ -224,6 +248,9 @@ def main():
     ap.add_argument("--no-pallas", action="store_true",
                     help="leg B with the einsum sp path instead of the "
                     "fused kernel")
+    ap.add_argument("--compile-only", action="store_true",
+                    help="leg B: lower+compile and report the per-device "
+                    "memory analysis without executing")
     ap.add_argument("--iters", type=int, default=2)
     ap.add_argument("--tpu-mesh", action="store_true",
                     help="leg B on the real device mesh (needs a slice)")
@@ -274,7 +301,8 @@ def main():
                 rows = leg_b_sp_mesh(oom_l or max(lengths),
                                      [int(x) for x in args.sp.split(",")],
                                      use_pallas=not args.no_pallas,
-                                     iters=args.iters)
+                                     iters=args.iters,
+                                     compile_only=args.compile_only)
                 if args.out == "-":
                     print(json.dumps(rows))
                     return
@@ -283,7 +311,8 @@ def main():
             rows = leg_b_sp_mesh(oom_l or max(lengths),
                                  [int(x) for x in args.sp.split(",")],
                                  use_pallas=not args.no_pallas,
-                                 iters=args.iters)
+                                 iters=args.iters,
+                                 compile_only=args.compile_only)
             out["edge_partitioned"] = rows
 
     with open(args.out, "w") as fp:

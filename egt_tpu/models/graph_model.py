@@ -118,9 +118,12 @@ class GraphModelConfig:
     #   attention_impl "auto" the joint vs-best argmin — bf16 admits the
     #   kernel at l >= ~286 for ew=64; ops/crossover.py::auto_dispatch)
     fused_edge_block: bool = False        # Pallas kernel (ops/edge_block_pallas.py)
-    fused_layer: bool = False             # whole-layer Pallas megakernel
+    fused_layer: bool | str = False       # whole-layer Pallas megakernel
     #   (ops/fused_layer_pallas.py); subsumes the two kernels above for the
-    #   pre-LN residual/constrained family
+    #   pre-LN residual/constrained family. True | False | "auto" (measured
+    #   per-traced-shape rule, ops/crossover.py::fused_layer_wins — checked
+    #   BEFORE the attention-path cascade, which is the fallback when the
+    #   kernel is ineligible or unmeasured at the shape)
     compute_dtype: str = "float32"        # float32 | bfloat16
     remat: bool | str = False             # per-layer rematerialization:
     #   True recomputes the whole layer in the backward pass; "dots" keeps

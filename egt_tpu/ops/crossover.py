@@ -188,6 +188,58 @@ def vpu_attention_wins(l: int, d: int, h: int, dtype: str = "bfloat16",
     return points[key]
 
 
+def fused_layer_points(rows, dtype: str = "bfloat16"):
+    """-> {(l, ew): layer_wins} for every shape where the whole-layer kernel
+    AND at least one alternative train-step cell are measured: the layer wins
+    iff its cell beats the min over every other measured path (xla / attn /
+    vpu / vpu+c16 / edge) — the kernel replaces whichever of them would
+    otherwise run."""
+    by_shape = {}
+    for r in rows:
+        if r.get("dtype", "bfloat16") != dtype or "ms_per_step" not in r:
+            continue
+        by_shape.setdefault(r["shape"], {})[r["path"]] = r
+    points = {}
+    for cells in by_shape.values():
+        layer = cells.get("layer")
+        others = [c["ms_per_step"] for p, c in cells.items() if p != "layer"]
+        if layer is None or not others:
+            continue
+        if not {"l", "ew"} <= layer.keys():
+            continue
+        points[(int(layer["l"]), int(layer["ew"]))] = \
+            layer["ms_per_step"] < min(others)
+    return points
+
+
+@functools.lru_cache(maxsize=4)
+def _fused_layer_points_cached(dtype: str, path: str | None):
+    return fused_layer_points(_load_rows(path), dtype)
+
+
+def fused_layer_wins(l: int, ew: int, dtype: str = "bfloat16",
+                     path: str | None = None) -> bool:
+    """Should the whole-layer megakernel run at this traced shape (when the
+    config is inside its eligibility envelope)? Nearest measured (ew, l)
+    point of the matrix, with the same extrapolation guard as the vpu rule:
+    no measured edge width within +/-2, or a length beyond 2x / below half
+    the nearest edge width's measured band, falls back to False (the
+    attention-path cascade then dispatches normally — never an unmeasured
+    kernel pick)."""
+    points = _fused_layer_points_cached(dtype, path)
+    if not points:
+        return False
+    key = min(points, key=lambda p: (abs(p[1] - ew), abs(p[0] - l)))
+    if abs(key[1] - ew) > 2:
+        return False
+    band = [p[0] for p in points if p[1] == key[1]]
+    if not (min(band) / 2 <= l <= max(band) * 2):
+        return False
+    nearest = min((p for p in points if p[1] == key[1]),
+                  key=lambda p: abs(p[0] - l))
+    return points[nearest]
+
+
 def best_paths(rows, dtype: str = "bfloat16"):
     """-> {(l, ew, d, h): 'xla'|'attn'|'vpu'} — the measured train-step argmin
     among the three auto-dispatchable attention paths at every swept shape

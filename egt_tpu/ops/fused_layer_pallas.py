@@ -1434,8 +1434,12 @@ def make_spec(cfg, l: int, training: bool) -> LayerSpec:
 
 
 def can_fuse_layer(cfg, training: bool, sp, capture: bool, l: int) -> bool:
-    """Static eligibility of the fused whole-layer kernel."""
-    if not getattr(cfg, "fused_layer", False) or sp is not None or capture:
+    """Eligibility of the fused whole-layer kernel. `cfg.fused_layer` may be
+    False, True (pin), or "auto" — resolved per TRACED shape from the
+    measured matrix (ops/crossover.py::fused_layer_wins), so length buckets
+    each make their own call, mirroring the attention-path auto rules."""
+    fl = getattr(cfg, "fused_layer", False)
+    if not fl or sp is not None or capture:
         return False
     if cfg.edge_channel_type not in ("residual", "constrained"):
         return False
@@ -1462,6 +1466,9 @@ def can_fuse_layer(cfg, training: bool, sp, capture: bool, l: int) -> bool:
         return False
     if _LANES % cfg.num_heads:
         return False  # lane->head mapping needs h | 128
+    if fl == "auto":
+        from .crossover import fused_layer_wins
+        return fused_layer_wins(l, cfg.edge_width, str(cfg.compute_dtype))
     return True
 
 

@@ -133,6 +133,10 @@ class TrainingBase:
             compute_dtype="bfloat16",    # 'float32' | 'bfloat16'
             use_pallas="auto",           # fused attention kernel; True|False|"auto"
             use_pallas_edge=False,       # fused edge block (ops/edge_block_pallas.py)
+            # whole-layer megakernel: "auto" (default) takes it at traced
+            # shapes where the measured matrix says it beats every other
+            # path AND use_pallas is "auto" too; True pins it; False never
+            use_pallas_layer="auto",
             attention_impl="auto",       # non-Pallas attention: einsum|vpu|auto
             attn_chain_f32=True,         # False: bf16 logits/softmax/gate chain
             num_devices=None,            # limit the mesh; None = all local devices
@@ -271,6 +275,12 @@ class TrainingBase:
         # their best path
         cfg.fused_attention = "auto" if up == "auto" else bool(up)
         cfg.fused_edge_block = bool(self.config.use_pallas_edge)
+        upl = self.config.use_pallas_layer
+        # the whole-layer kernel's auto rule only arms when use_pallas is
+        # "auto" too — pinning use_pallas True/False expresses an explicit
+        # kernel choice the layer kernel must not silently override
+        cfg.fused_layer = ("auto" if up == "auto" else False) \
+            if upl == "auto" else bool(upl)
         cfg.attention_impl = str(self.config.attention_impl)
         cfg.attn_chain_f32 = bool(self.config.attn_chain_f32)
         cfg.compute_dtype = self.config.compute_dtype

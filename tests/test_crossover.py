@@ -239,3 +239,91 @@ def test_shipped_matrix_dispatch_agrees_with_argmin():
     for dtype in sorted({r.get("dtype", "bfloat16") for r in rows}):
         for (l, ew, d, h), path in co.best_paths(rows, dtype).items():
             assert co.auto_dispatch(l, ew, d, h, dtype) == path
+
+
+def test_fused_layer_rule_from_matrix():
+    """fused_layer='auto' consults measured layer-vs-best rows with the same
+    nearest-point + band extrapolation guard as the vpu rule (r5: the split
+    backward makes the whole-layer kernel the measured argmin at l=192
+    ew=8)."""
+    import json, os, tempfile
+
+    from egt_tpu.ops import crossover as co
+    rows = [
+        _row("p", "xla", 192, 8, 64, 8, 400.0),
+        _row("p", "vpu+c16", 192, 8, 64, 8, 226.0),
+        _row("p", "layer", 192, 8, 64, 8, 218.0),
+        _row("z", "xla", 40, 64, 64, 8, 15.0),
+        _row("z", "vpu+c16", 40, 64, 64, 8, 13.7),
+        _row("z", "layer", 40, 64, 64, 8, 30.0),
+    ]
+    pts = co.fused_layer_points(rows, "bfloat16")
+    assert pts == {(192, 8): True, (40, 64): False}
+    fd, path = tempfile.mkstemp(suffix=".json")
+    with os.fdopen(fd, "w") as fp:
+        json.dump(rows, fp)
+    try:
+        # measured points dispatch their verdict
+        assert co.fused_layer_wins(192, 8, "bfloat16", path) is True
+        assert co.fused_layer_wins(40, 64, "bfloat16", path) is False
+        # inside the band of the nearest ew: nearest point's verdict
+        assert co.fused_layer_wins(128, 8, "bfloat16", path) is True
+        # guards: unmeasured edge width / length outside 2x band -> False
+        assert co.fused_layer_wins(192, 16, "bfloat16", path) is False
+        assert co.fused_layer_wins(512, 8, "bfloat16", path) is False
+        assert co.fused_layer_wins(64, 8, "bfloat16", path) is False
+        # no matrix -> never the kernel
+        assert co.fused_layer_wins(192, 8, "bfloat16", "/nonexistent") is False
+    finally:
+        os.unlink(path)
+
+
+def test_shipped_matrix_fused_layer_agrees():
+    """Every (l, ew) with a measured layer cell in the COMMITTED matrix:
+    the auto rule returns exactly the measured layer-vs-best verdict."""
+    import json
+
+    from egt_tpu.ops import crossover as co
+    rows = json.load(open(co.matrix_path()))
+    for dtype in sorted({r.get("dtype", "bfloat16") for r in rows}):
+        for (l, ew), wins in co.fused_layer_points(rows, dtype).items():
+            assert co.fused_layer_wins(l, ew, dtype) == wins, (l, ew, dtype)
+
+
+def test_can_fuse_layer_auto_resolution():
+    """cfg.fused_layer='auto' resolves through the measured rule per traced
+    length; True still pins; False still disables."""
+    import json, os, tempfile
+
+    from egt_tpu.models.graph_model import GraphModelConfig
+    from egt_tpu.ops import crossover as co
+    from egt_tpu.ops import fused_layer_pallas as flp
+
+    cfg = GraphModelConfig(
+        model_width=64, edge_width=8, num_heads=8, model_height=2,
+        node_input_kind="tokens", edge_input_kind="tokens",
+        num_node_features=4, num_edge_features=4, num_targets=1,
+        readout_kind="graph", compute_dtype="bfloat16")
+    cfg.fused_layer = "auto"
+    rows = [
+        _row("p", "xla", 192, 8, 64, 8, 400.0),
+        _row("p", "vpu+c16", 192, 8, 64, 8, 226.0),
+        _row("p", "layer", 192, 8, 64, 8, 218.0),
+    ]
+    fd, path = tempfile.mkstemp(suffix=".json")
+    with os.fdopen(fd, "w") as fp:
+        json.dump(rows, fp)
+    old = co.matrix_path
+    co._fused_layer_points_cached.cache_clear()
+    co.matrix_path = lambda: path
+    try:
+        assert flp.can_fuse_layer(cfg, True, None, False, 192)
+        assert not flp.can_fuse_layer(cfg, True, None, False, 512)
+        cfg.fused_layer = False
+        assert not flp.can_fuse_layer(cfg, True, None, False, 192)
+        cfg.fused_layer = True
+        assert flp.can_fuse_layer(cfg, True, None, False, 512)
+    finally:
+        co.matrix_path = old
+        co._fused_layer_points_cached.cache_clear()
+        os.unlink(path)

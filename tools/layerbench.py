@@ -25,6 +25,9 @@ SHAPES = {
     "zinc500k": (128, 40, 64, 64, 8, 10),
     "zinc100k": (128, 40, 48, 48, 8, 4),
     "pattern500k": (128, 192, 64, 8, 8, 16),
+    # the PATTERN/CLUSTER schemes bucket pad lengths at [128, 192]; the l=128
+    # bucket is a real executed shape, so the dispatch matrix measures it
+    "pattern500k_l128": (128, 128, 64, 8, 8, 16),
     "cluster500k": (128, 192, 64, 8, 8, 16),
     "mnist500k": (128, 80, 96, 64, 8, 4),
     "cifar500k": (128, 160, 96, 64, 8, 4),
@@ -58,12 +61,13 @@ def build(shape, dtype, path, training=True, scan_k: int = 0):
         # the measured crossover matrix (ops/crossover.py)
         cfg.fused_attention = "auto"
         cfg.attention_impl = "auto"
+        cfg.fused_layer = "auto"
     else:
         cfg.fused_attention = base == "attn"
         # 'xla' pins the einsum chain; 'vpu' the elementwise chain (no dots)
         cfg.attention_impl = "vpu" if base == "vpu" else "einsum"
+        cfg.fused_layer = base == "layer"
     cfg.fused_edge_block = base == "edge" or "edge" in mods
-    cfg.fused_layer = base == "layer"
     # +remat: full per-layer recompute; +rdots: selective (dot outputs stay
     # resident, only the elementwise per-pair chain is recomputed)
     cfg.remat = "dots" if "rdots" in mods else ("remat" in mods)
@@ -153,6 +157,14 @@ def main():
                     "(dtypes comma-separated) and write the crossover matrix "
                     "as JSON (drives the 'auto' kernel-selection thresholds "
                     "via egt_tpu/ops/crossover.py)")
+    ap.add_argument("--merge", action="store_true",
+                    help="with --matrix: keep existing rows, replacing only "
+                    "the (shape, path, dtype) cells re-measured this run — "
+                    "so a single path can be re-swept without re-timing the "
+                    "whole matrix")
+    ap.add_argument("--only-shapes", default=None,
+                    help="with --matrix: comma-separated subset of SHAPES "
+                    "to sweep")
     ap.add_argument("--thresholds", metavar="MATRIX.json", nargs="?",
                     const="CROSSOVER_MATRIX.json",
                     help="print the auto thresholds derived from an existing "
@@ -174,8 +186,10 @@ def main():
     if args.matrix:
         import json
         rows = []
+        sweep_shapes = (dict(SHAPES) if not args.only_shapes else
+                        {n: SHAPES[n] for n in args.only_shapes.split(",")})
         for dtype in args.dtype.split(","):
-            for sname, shape in SHAPES.items():
+            for sname, shape in sweep_shapes.items():
                 b, l, w, ew, h, height = shape
                 for path in args.paths.split(","):
                     try:
@@ -194,10 +208,20 @@ def main():
                                "error": f"{type(e).__name__}: {e}"}
                     rows.append(row)
                     print(row, file=sys.stderr, flush=True)
-            for sname in SHAPES:
+        if args.merge and os.path.exists(args.matrix):
+            fresh = {(r["shape"], r["path"], r["dtype"]) for r in rows}
+            kept = [r for r in json.load(open(args.matrix))
+                    if (r["shape"], r["path"], r.get("dtype", "bfloat16"))
+                    not in fresh]
+            rows = kept + rows
+        for dtype in {r.get("dtype", "bfloat16") for r in rows}:
+            for sname in {r["shape"] for r in rows}:
                 ok = [r for r in rows
-                      if r["shape"] == sname and r["dtype"] == dtype
+                      if r["shape"] == sname
+                      and r.get("dtype", "bfloat16") == dtype
                       and "error" not in r]
+                for r in ok:
+                    r.pop("best_for_shape", None)
                 if ok:
                     best = min(ok, key=lambda r: r["ms_per_step"])
                     best["best_for_shape"] = True

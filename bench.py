@@ -29,7 +29,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from egt_tpu.utils.roofline import ShapeModel, v100_tf2_baseline_graphs_per_sec
+from egt_tpu.utils.roofline import (BASELINE_ATTAINMENT_BAND, ShapeModel,
+                                    v100_tf2_baseline_graphs_per_sec)
 
 
 def log(*a):
@@ -38,7 +39,11 @@ def log(*a):
 
 # (batch, pad_len, width, edge_width, heads, height) — must match the shipped
 # 500k recipes; see tools/layerbench.py SHAPES.
-BENCH_SHAPES = ("zinc500k", "pattern500k", "tsp500k")
+# all shipped 500k families: zinc/pattern/tsp exercise the three attention
+# dispatch paths; cluster (dynamic-l twin of pattern), mnist and cifar10 pin
+# a committed number + anchor on every family rather than extrapolating
+BENCH_SHAPES = ("zinc500k", "pattern500k", "cluster500k", "mnist500k",
+                "cifar500k", "tsp500k")
 HEADLINE = "zinc500k"
 TRACE_ROOT = "/tmp/egtbench_trace"
 
@@ -93,7 +98,13 @@ def measure_shape(name, shape, reps=5, iters=30, trace_steps=20):
         fmt_pct = cats.get("data formatting", {}).get("pct", 0.0)
         pallas_pct = sum(row["pct"] for c, row in cats.items()
                          if c.startswith("pallas"))
+        # full per-category share of traced device time (top 8), so the
+        # artifact itself answers "where does each step go" (VERDICT r4)
+        top_cats = dict(sorted(((c, round(row["pct"], 1))
+                                for c, row in cats.items()),
+                               key=lambda kv: -kv[1])[:8])
         out.update({
+            "category_pct": top_cats,
             "step_time_ms_traced": round(agg["step_time_ms"], 3)
             if agg["step_time_ms"] is not None else None,
             "measured_mfu": round(agg["measured_mfu"], 4),
@@ -116,7 +127,7 @@ def main():
 
     from tools.layerbench import SHAPES
 
-    from egt_tpu.ops.crossover import auto_dispatch
+    from egt_tpu.ops.crossover import auto_dispatch, fused_layer_wins
 
     log(f"devices: {jax.devices()}")
     results = {}
@@ -131,18 +142,38 @@ def main():
         # anchor EVERY shape, not just the headline: the measured-rule
         # dispatch path, the chip's per-step floor, and the V100/TF2
         # roofline-derived baseline this shape would run at
-        res["dispatch_path"] = auto_dispatch(l, ew, w // h, h, "bfloat16")
+        # the whole-layer kernel is consulted first (all bench configs are
+        # inside its eligibility envelope); the attention cascade otherwise
+        res["dispatch_path"] = ("layer"
+                                if fused_layer_wins(l, ew, "bfloat16")
+                                else auto_dispatch(l, ew, w // h, h,
+                                                   "bfloat16"))
         res["roofline_floor_ms"] = round(m.roofline_floor_ms_per_step(), 3)
         shape_baseline = v100_tf2_baseline_graphs_per_sec(m)
         res["baseline_graphs_per_sec"] = round(shape_baseline, 1)
         res["vs_baseline"] = round(res["graphs_per_sec"] / shape_baseline, 3)
+        # the anchor assumes 30% roofline attainment for the TF2 reference;
+        # publish the ratio across the plausible 20-35% band (high attainment
+        # -> stronger baseline -> LOWER ratio) so the anchor's uncertainty is
+        # in the artifact
+        lo_att, hi_att = BASELINE_ATTAINMENT_BAND
+        res["baseline_attainment_band"] = [lo_att, hi_att]
+        res["vs_baseline_range"] = [
+            round(res["graphs_per_sec"]
+                  / v100_tf2_baseline_graphs_per_sec(m, hi_att), 3),
+            round(res["graphs_per_sec"]
+                  / v100_tf2_baseline_graphs_per_sec(m, lo_att), 3)]
         if ew <= 8:
             # MFU is low BY DESIGN here: at edge width 8 the step is
-            # dominated by l^2-sized elementwise/VPU work (softmax/gate
-            # chain, edge FFN at width 8-16), not MXU matmuls — the right
-            # utilization lens is HBM, not FLOPs
-            res["mfu_note"] = ("ew=8: step is elementwise/VPU-dominated by "
-                               "design; HBM util is the binding roofline")
+            # dominated by l^2-sized per-pair work on narrow tiles, not MXU
+            # matmuls. NOTE the measured counters under-report when the
+            # whole-layer Pallas kernel is dispatched (its flops/bytes are
+            # invisible to XLA's per-op cost stats) — neither HBM util nor
+            # MFU is a binding-roofline statement at this shape; the honest
+            # account is DESIGN_NOTES "pattern500k traffic account" (r5)
+            res["mfu_note"] = ("ew=8: per-pair-dominated; measured counters "
+                               "exclude pallas-kernel internals — see "
+                               "DESIGN_NOTES r5 pattern account")
         results[name] = res
 
     z = results[HEADLINE]

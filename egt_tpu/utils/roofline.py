@@ -95,7 +95,8 @@ class ShapeModel:
         return 1e3 * max(t_flops, t_bytes)
 
 
-def v100_tf2_baseline_graphs_per_sec(m: ShapeModel) -> float:
+def v100_tf2_baseline_graphs_per_sec(m: ShapeModel,
+                                     attainment: float = 0.30) -> float:
     """Roofline-derived estimate of the TF2 reference on one V100 (fp32),
     the hardware class the reference targets (`environment.yml` pins TF 2.x
     CUDA builds; the paper's experiments are GPU-based).
@@ -121,4 +122,11 @@ def v100_tf2_baseline_graphs_per_sec(m: ShapeModel) -> float:
     traffic = 30.0 * m.l * m.l * m.ew * 4 * m.height
     ceiling = 900e9 / traffic
     compute_ceiling = 15.7e12 / m.train_flops_per_graph()
-    return 0.30 * min(ceiling, compute_ceiling)
+    return attainment * min(ceiling, compute_ceiling)
+
+
+# the plausible end-to-end attainment band for a Keras/tf.data pipeline
+# against the traffic roofline (docstring above); bench.py publishes
+# vs_baseline at the 30% center AND as a range over this band so the anchor's
+# uncertainty is visible in the artifact rather than only in this docstring
+BASELINE_ATTAINMENT_BAND = (0.20, 0.35)

@@ -242,6 +242,17 @@ def leg_b_sp_mesh(l: int, sp_values, use_pallas: bool, iters: int = 2,
             f"(single-device would be "
             f"{row['quadratic_activation_gb_single_device']} GiB)")
         rows.append(row)
+    # same (shape, seed, step sequence) at sp=1 vs sp>1: record the loss
+    # delta on every executed row so the artifact carries the sharded-vs-
+    # unsharded equivalence (proven to 1e-5 in tests/test_sp_training.py)
+    # instead of bare per-row losses. Losses are untrained-model values on
+    # l-sized random data — comparable only within the same l.
+    ref = next((r for r in rows if r["sp"] == 1 and r.get("ok") is True),
+               None)
+    if ref is not None:
+        for r in rows:
+            if r.get("ok") is True and r["sp"] != 1:
+                r["loss_vs_unsharded"] = round(r["loss"] - ref["loss"], 5)
     return rows
 
 

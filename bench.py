@@ -39,11 +39,12 @@ def log(*a):
 
 # (batch, pad_len, width, edge_width, heads, height) — must match the shipped
 # 500k recipes; see tools/layerbench.py SHAPES.
-# all shipped 500k families: zinc/pattern/tsp exercise the three attention
-# dispatch paths; cluster (dynamic-l twin of pattern), mnist and cifar10 pin
-# a committed number + anchor on every family rather than extrapolating
-BENCH_SHAPES = ("zinc500k", "pattern500k", "cluster500k", "mnist500k",
-                "cifar500k", "tsp500k")
+# every shipped shape family: zinc/pattern/tsp exercise the three attention
+# dispatch paths; zinc100k, cluster (dynamic-l twin of pattern), mnist and
+# cifar10 pin a committed number + anchor on each family rather than
+# extrapolating
+BENCH_SHAPES = ("zinc500k", "zinc100k", "pattern500k", "cluster500k",
+                "mnist500k", "cifar500k", "tsp500k")
 HEADLINE = "zinc500k"
 TRACE_ROOT = "/tmp/egtbench_trace"
 

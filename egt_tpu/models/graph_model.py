@@ -553,6 +553,20 @@ class EGTGraphModel:
         if cfg.remat == "dots":
             remat_kw["policy"] = \
                 jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+        # when every layer takes the whole-layer kernel at this traced shape
+        # (same static condition the per-layer dispatch evaluates), keep e in
+        # the kernel's packed row form across the stack: pack/unpack once
+        # instead of per layer (the reshapes at the pallas-call boundary
+        # otherwise materialize as relayout copies)
+        from ..ops import fused_layer_pallas as flp
+        pack_through = (
+            e is not None
+            and flp.can_fuse_layer(cfg, training, sp, capture_analysis,
+                                   e.shape[1])
+            and (cfg.edge_channel_type != "constrained"
+                 or edge_mask is not None))
+        if pack_through:
+            e = flp.pack_for_stack(e, cfg)
         for i in range(cfg.model_height):
             rng_l = None if rng is None else L.fold_rng(rng, 1000 + i)
             fn = run_layer
@@ -567,6 +581,8 @@ class EGTGraphModel:
                 all_node_repr.append(node_repr)
                 if edge_repr is not None:
                     all_edge_repr.append(edge_repr)
+        if pack_through:
+            e = flp.unpack_from_stack(e)
 
         if (not cfg.add_n_norm) and cfg.do_final_norm:
             norm_node = L.make_norm(cfg.node_normalization)

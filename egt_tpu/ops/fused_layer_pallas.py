@@ -1482,6 +1482,49 @@ def unpack_edge(e2, b, l, ew):
     return e2.reshape(b, l, l, ew)
 
 
+@jax.tree_util.register_pytree_node_class
+class PackedEdges:
+    """Edge tensor held in the kernel's packed (b*l*l/p, p*ew) row form
+    BETWEEN consecutive fused layers, so the per-layer pack/unpack reshapes
+    (which XLA materializes as relayout copies at the pallas-call boundary)
+    happen once per stack instead of once per layer. Quacks like the
+    unpacked (b, l, l, ew) array for the static eligibility checks."""
+
+    def __init__(self, e2, b, l, ew, p):
+        self.e2, self.b, self.l, self.ew, self.p = e2, b, l, ew, p
+
+    @property
+    def shape(self):
+        return (self.b, self.l, self.l, self.ew)
+
+    @property
+    def dtype(self):
+        return self.e2.dtype
+
+    def tree_flatten(self):
+        return (self.e2,), (self.b, self.l, self.ew, self.p)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], *aux)
+
+
+def pack_for_stack(e, cfg):
+    """Wrap e for a stack whose every layer takes the fused kernel at this
+    traced shape (caller checks `can_fuse_layer` with the SAME arguments the
+    per-layer dispatch uses, so the fused branch is guaranteed)."""
+    b, l, _, ew = e.shape
+    p = pick_pack(ew, l, cfg.num_heads)
+    e2, _ = pack_edge(e, p)
+    return PackedEdges(e2, b, l, ew, p)
+
+
+def unpack_from_stack(e):
+    if isinstance(e, PackedEdges):
+        return unpack_edge(e.e2, e.b, e.l, e.ew)
+    return e
+
+
 def pack_params(p_layer, spec: LayerSpec, dtype):
     """Layer params subtree -> packed/block-diagonal kernel weights (tiny
     jnp ops; XLA hoists them out of the step's hot region).
@@ -1578,7 +1621,11 @@ def fused_layer_apply(p_layer, cfg, e, qkv, node_mask, attn_mask, training,
 
     The surrounding code keeps the node-stream ops (QKV/out/node-FFN denses) in
     XLA — they are (b, l, w)-sized and fuse well there.
+
+    `e` may be a PackedEdges wrapper (pack_for_stack): the kernel then reads
+    and returns the packed rows directly, output packed iff input packed.
     """
+    packed_in = isinstance(e, PackedEdges)
     b, l, _, ew = e.shape
     spec = make_spec(cfg, l, training)
     dt = e.dtype
@@ -1592,7 +1639,11 @@ def fused_layer_apply(p_layer, cfg, e, qkv, node_mask, attn_mask, training,
     kt = jnp.swapaxes(k, 1, 2).reshape(b * spec.dh, l)
     v = qkv_m[:, :, 2].reshape(b * l, spec.dh)
 
-    e2, _ = pack_edge(e, spec.p)
+    if packed_in:
+        assert e.p == spec.p, (e.p, spec.p)
+        e2 = e.e2
+    else:
+        e2, _ = pack_edge(e, spec.p)
     mask = (jnp.ones((b, l), jnp.float32) if node_mask is None
             else node_mask.astype(jnp.float32).reshape(b, l))
     am = None
@@ -1608,5 +1659,8 @@ def fused_layer_apply(p_layer, cfg, e, qkv, node_mask, attn_mask, training,
     wtuple = tuple(w[k] if w[k] is not None else jnp.zeros((1, 1), dt)
                    for k in _W_KEYS)
     e2_out, v_att = _fused_layer(spec, seed, e2, q, kt, v, mask, am, wtuple)
-    e_out = unpack_edge(e2_out, b, l, ew)
+    if packed_in:
+        e_out = PackedEdges(e2_out, b, l, ew, spec.p)
+    else:
+        e_out = unpack_edge(e2_out, b, l, ew)
     return e_out, v_att.reshape(b, l, spec.dh)

@@ -1018,6 +1018,196 @@ def _bwd_attn_kernel(spec: LayerSpec, seed_ref, *refs):
             out_ref[...] = acc[...]
 
 
+def _bwd_merged_kernel(spec: LayerSpec, seed_ref, *refs):
+    """K1+K2 in ONE kernel, still fed by the saved h_hat (no qk recompute):
+    saves the de_mid/dhh2 inter-kernel HBM streams (~225 MB/layer at the
+    pattern shape) IF Mosaic pipelines the larger call as well as the split
+    — an A/B probe behind _BWD_IMPL='merged'; ~60 memrefs vs the split's
+    ~34 each and the old monolith's 163."""
+    it = iter(refs)
+    e2_ref = next(it)
+    q_ref = next(it)
+    kt_ref = next(it)
+    v_ref = next(it)
+    mask_ref = next(it)
+    amask_ref = next(it) if spec.constrained else None
+    wg_ref = next(it) if spec.gated else None
+    bg_ref = next(it) if spec.gated else None
+    wb_ref, bb_ref = next(it), next(it)
+    g1_ref, b1ln_ref = next(it), next(it)
+    wr_ref, br_ref = next(it), next(it)
+    g2_ref, b2ln_ref = next(it), next(it)
+    w1_ref, bb1_ref = next(it), next(it)
+    w2_ref, bb2_ref = next(it), next(it)
+    wgt_ref = next(it) if spec.gated else None
+    wbt_ref = next(it)
+    wrt_ref, w1t_ref, w2t_ref = next(it), next(it), next(it)
+    hh2_ref, geout_ref, gvatt_ref = next(it), next(it), next(it)
+    de2_ref, dq_ref, dkt_ref, dvt_ref = next(it), next(it), next(it), next(it)
+    n_wg = 14 if spec.gated else 12
+    wgrad_refs = [next(it) for _ in range(n_wg)]
+    accs = list(it)
+
+    dt = e2_ref.dtype
+    uniform = _make_uniform(seed_ref, _needs_rng(spec))
+    bi, lp = spec.bi, spec.l // spec.p
+    rows = bi * lp
+    LH = spec.latt
+    h = spec.h
+    g1 = g1_ref[...]
+    g2 = g2_ref[...]
+
+    # ---- recompute from saved h_hat (tail) + edge head
+    e2f = e2_ref[...].astype(jnp.float32)
+    hh2 = hh2_ref[...].astype(jnp.float32)
+    e_mid, x2, rstd2, xn2, pre, hid, _ = _edge_tail_fwd(
+        spec, hh2, e2f, wr_ref[...], br_ref[...], g2, b2ln_ref[...],
+        w1_ref[...], bb1_ref[...], w2_ref[...], bb2_ref[...], dt)
+    wg = wg_ref[...] if spec.gated else None
+    x1, rstd1, e_ln, g2d, e2d_pre, e2d = _edge_head_fwd(
+        spec, e2f, g1, b1ln_ref[...], wg, bg_ref[...] if spec.gated else None,
+        wb_ref[...], bb_ref[...], dt)
+    e_att = e2d.reshape(bi, LH)
+    g_att = g2d.reshape(bi, LH) if spec.gated else None
+    sel = _expand_sel(spec)
+    madd = _mask_add_lanes(mask_ref[pl.ds(pl.program_id(0), 1), :], sel, spec)
+    aadd = None
+    if spec.constrained:
+        am = _mm(amask_ref[...].astype(jnp.float32), sel, jnp.float32)
+        aadd = (am - 1.0) * 1e9
+    hh = hh2.reshape(bi, LH)
+    att = _softmax_gate_fwd(spec, uniform, hh, g_att, madd, aadd)
+
+    # ---- FFN tail backward (K1 body, de_mid/dhh local)
+    g_out = geout_ref[...].astype(jnp.float32)
+    g_out_dt = g_out.astype(dt)
+    dhid = _mm(g_out_dt, w2t_ref[...], dt)
+    dpre = dhid * _act_grad(spec.act, pre, hid)
+    dpre_dt = dpre.astype(dt)
+    dxn2 = _mm(dpre_dt, w1t_ref[...], dt)
+    dx2 = dxn2 * g2
+    PL = spec.p * spec.ew
+    rows_sel = jax.lax.broadcasted_iota(jnp.int32, (PL, spec.p), 0) // spec.ew
+    cols_sel = jax.lax.broadcasted_iota(jnp.int32, (PL, spec.p), 1)
+    msel = jnp.where(rows_sel == cols_sel, 1.0 / spec.ew, 0.0)
+    spread = jnp.where(rows_sel == cols_sel, 1.0, 0.0).T
+    m1 = _mm(_mm(dx2, msel, jnp.float32), spread, jnp.float32)
+    m2 = _mm(_mm(dx2 * x2, msel, jnp.float32), spread, jnp.float32)
+    de_mid = (dx2 - m1 - x2 * m2) * rstd2 + g_out
+    de_mid_dt = de_mid.astype(dt)
+    dhh2 = _mm(de_mid_dt, wrt_ref[...], dt)
+
+    # ---- attention + edge-head backward (K2 body)
+    sel_t = _expand_sel_t(spec)
+    dhh = dhh2.astype(jnp.float32).reshape(bi, LH)
+    gv = gvatt_ref[...].astype(dt)
+    vbd_t = _head_mask((spec.dh, LH), h,
+                       _mm(v_ref[...].T, sel.astype(dt), dt)).astype(dt)
+    da_drop = _mm(gv, vbd_t, dt)
+    da = da_drop
+    if spec.training and spec.attn_dropout > 0.0:
+        keep = 1.0 - spec.attn_dropout
+        da = jnp.where(att["drop_u"] >= spec.attn_dropout, da_drop / keep, 0.0)
+    a_sm = att["a_sm"]
+    if spec.gated:
+        sg = att["sg"]
+        dsg = da * a_sm
+        da_sm = da * sg
+        dgate = dsg * sg * (1.0 - sg)
+    else:
+        da_sm = da
+        dgate = None
+    t = _mm(da_sm * a_sm, att["rsum"], jnp.float32)
+    t_b = _mm(t, att["rspread"], jnp.float32)
+    dlogits = a_sm * (da_sm - t_b)
+    dhh_total = dlogits + dhh
+    if spec.clip is not None:
+        s_c = hh - e_att
+        in_range = jnp.logical_and(s_c > spec.clip[0], s_c < spec.clip[1])
+        ds_raw = jnp.where(in_range, dhh_total, 0.0) * spec.scale
+    else:
+        ds_raw = dhh_total * spec.scale
+    ds_dt = ds_raw.astype(dt)
+    qf = q_ref[...]
+    kbd_t = _head_mask((LH, spec.dh), h,
+                       _mm(sel_t.astype(dt), kt_ref[...].T, dt)).astype(dt)
+    dq = _mm(ds_dt, kbd_t, dt)
+    dkbd = _head_mask((spec.dh, LH), h, _mm(qf.T, ds_dt, dt))
+    dkt = _mm(dkbd.astype(dt), sel_t.astype(dt), dt)
+    dvbd_t = _head_mask((spec.dh, LH), h,
+                        _mm(gv.T, att["a_drop"].astype(dt), dt))
+    dvt = _mm(dvbd_t.astype(dt), sel_t.astype(dt), dt)
+
+    de2d = dhh_total.reshape(rows, _LANES)
+    de2d_pre = de2d * _act_grad(spec.edge_act, e2d_pre, e2d)
+    de2d_pre_dt = de2d_pre.astype(dt)
+    de_ln = _mm(de2d_pre_dt, wbt_ref[...], dt)
+    if spec.gated:
+        dg2d = dgate.reshape(rows, _LANES)
+        dg2d_dt = dg2d.astype(dt)
+        de_ln = de_ln + _mm(dg2d_dt, wgt_ref[...], dt)
+    dx1 = de_ln * g1
+    m1 = _mm(_mm(dx1, msel, jnp.float32), spread, jnp.float32)
+    m2 = _mm(_mm(dx1 * x1, msel, jnp.float32), spread, jnp.float32)
+    de2 = (dx1 - m1 - x1 * m2) * rstd1 + de_mid
+
+    de2_ref[...] = de2.astype(de2_ref.dtype)
+    dq_ref[...] = dq.astype(dq_ref.dtype)
+
+    first_ib = pl.program_id(1) == 0
+
+    @pl.when(first_ib)
+    def _init_per_graph():
+        dkt_ref[...] = jnp.zeros_like(dkt_ref)
+        dvt_ref[...] = jnp.zeros_like(dvt_ref)
+
+    dkt_ref[...] += dkt.astype(dkt_ref.dtype)
+    dvt_ref[...] += dvt.astype(dvt_ref.dtype)
+
+    first = jnp.logical_and(pl.program_id(0) == 0, first_ib)
+
+    @pl.when(first)
+    def _init_weight_grads():
+        for acc in accs:
+            acc[...] = jnp.zeros_like(acc)
+
+    e_ln_dt = e_ln.astype(dt)
+    hh2_dt = hh2.astype(dt)
+    xn2_dt = xn2.astype(dt)
+    hid_dt = hid.astype(dt)
+    vals = []
+    if spec.gated:
+        vals += [_mm_dims(e_ln_dt, dg2d_dt, ((0,), (0,)), dt),
+                 jnp.sum(dg2d, axis=0)[None]]
+    vals += [
+        _mm_dims(e_ln_dt, de2d_pre_dt, ((0,), (0,)), dt),       # dwb
+        jnp.sum(de2d_pre, axis=0)[None],                        # dbb
+        jnp.sum(de_ln * x1, axis=0)[None],                      # dg1
+        jnp.sum(de_ln, axis=0)[None],                           # db1ln
+        _mm_dims(hh2_dt, de_mid_dt, ((0,), (0,)), dt),          # dwr
+        jnp.sum(de_mid, axis=0)[None],                          # dbr
+        jnp.sum(dxn2 * x2, axis=0)[None],                       # dg2
+        jnp.sum(dxn2, axis=0)[None],                            # db2ln
+        _mm_dims(xn2_dt, dpre_dt, ((0,), (0,)), dt),            # dw1
+        jnp.sum(dpre, axis=0)[None],                            # dbb1
+        _mm_dims(hid_dt, g_out_dt, ((0,), (0,)), dt),           # dw2
+        jnp.sum(g_out, axis=0)[None],                           # dbb2
+    ]
+    for acc, val in zip(accs, vals):
+        if val.shape[0] == acc.shape[0]:
+            acc[...] += val
+        else:
+            acc[0:1, :] += val
+
+    last = jnp.logical_and(pl.program_id(0) == pl.num_programs(0) - 1,
+                           pl.program_id(1) == pl.num_programs(1) - 1)
+
+    @pl.when(last)
+    def _flush_weight_grads():
+        for out_ref, acc in zip(wgrad_refs, accs):
+            out_ref[...] = acc[...]
+
+
 # ------------------------------------------------------------- pallas plumbing
 
 
@@ -1342,6 +1532,58 @@ def _fused_layer_bwd_call_split(spec: LayerSpec, seed, e2, q, kt, v, mask,
     return de2, dq, dkt, dv, dw
 
 
+def _fused_layer_bwd_call_merged(spec: LayerSpec, seed, e2, q, kt, v, mask,
+                                 amask, w, hh2, g_eout, g_vatt):
+    """One-kernel backward fed by saved h_hat (_BWD_IMPL='merged' A/B)."""
+    b = mask.shape[0]
+    dt = e2.dtype
+    l, dh = spec.l, spec.dh
+    in_specs, n_ib, rows, PL = _in_specs(spec, b)
+    wargs, wspecs = _weight_args(spec, w)
+    wt_all = (("wg",) if spec.gated else ()) + ("wb", "wr", "w1", "w2")
+    wt_args = [jnp.swapaxes(w[k], 0, 1) for k in wt_all]
+    wt_specs = [_const_spec((w[k].shape[1], w[k].shape[0])) for k in wt_all]
+    args = [e2, q, kt, v, mask] + ([amask] if spec.constrained else []) \
+        + wargs + wt_args + [hh2, g_eout, g_vatt]
+    specs = in_specs + wspecs + wt_specs + [
+        _row_spec(rows, _LANES, n_ib), _row_spec(rows, PL, n_ib),
+        _row_spec(spec.bi, spec.dh, n_ib)]
+    wgrad_keys = tuple(k for k in _W_KEYS if spec.gated or
+                       k not in ("wg", "bg"))
+    wg_shape, wg_specs, wg_scratch = _padded_wgrad_outs(w, wgrad_keys)
+    f32 = jnp.float32
+    out_shape = [
+        jax.ShapeDtypeStruct(e2.shape, dt),
+        jax.ShapeDtypeStruct((b * l, dh), dt),
+        jax.ShapeDtypeStruct((b * dh, l), f32),
+        jax.ShapeDtypeStruct((b * dh, l), f32),
+    ] + wg_shape
+    out_specs = [
+        _row_spec(rows, PL, n_ib),
+        _row_spec(spec.bi, spec.dh, n_ib),
+        _graph_spec(spec.dh, l),
+        _graph_spec(spec.dh, l),
+    ] + wg_specs
+    outs = pl.pallas_call(
+        functools.partial(_bwd_merged_kernel, spec),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1, grid=(b, n_ib),
+            in_specs=specs, out_specs=out_specs,
+            scratch_shapes=wg_scratch),
+        out_shape=out_shape,
+        interpret=_interpret(),
+        name="fused_layer_bwd_merged",
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(seed, *args)
+    de2, dq, dkt, dvt = outs[:4]
+    dw = {}
+    for i, k in enumerate(wgrad_keys):
+        dw[k] = outs[4 + i][:w[k].shape[0]]
+    dv = jnp.swapaxes(dvt.reshape(b, dh, l), 1, 2).reshape(b * l, dh)
+    return de2, dq, dkt, dv, dw
+
+
 # --------------------------------------------------------------- wiring + VJP
 
 _W_KEYS = ("wg", "bg", "wb", "bb", "g1", "b1ln", "wr", "br", "g2", "b2ln",
@@ -1355,7 +1597,7 @@ def _fused_layer(spec: LayerSpec, seed, e2, q, kt, v, mask, amask, wtuple):
 
 
 def _fused_layer_fwd(spec, seed, e2, q, kt, v, mask, amask, wtuple):
-    if _BWD_IMPL == "split":
+    if _BWD_IMPL in ("split", "merged"):
         w = dict(zip(_W_KEYS, wtuple))
         e_out, v_att, hh2 = _fused_layer_fwd_call(
             spec, seed, e2, q, kt, v, mask, amask, w, save_hh=True)
@@ -1368,7 +1610,10 @@ def _fused_layer_bwd(spec, res, g):
     seed, e2, q, kt, v, mask, amask, wtuple, hh2 = res
     g_eout, g_vatt = g
     w = dict(zip(_W_KEYS, wtuple))
-    if hh2 is not None:
+    if hh2 is not None and _BWD_IMPL == "merged":
+        de2, dq, dkt, dv, dw = _fused_layer_bwd_call_merged(
+            spec, seed, e2, q, kt, v, mask, amask, w, hh2, g_eout, g_vatt)
+    elif hh2 is not None:
         de2, dq, dkt, dv, dw = _fused_layer_bwd_call_split(
             spec, seed, e2, q, kt, v, mask, amask, w, hh2, g_eout, g_vatt)
     else:
@@ -1394,8 +1639,11 @@ _SKIP_WGRADS = False  # timing diagnostic: skip weight-grad accumulation
 _BWD_STUB = 0  # bisection: 1=recompute 2=+ffn-bwd 3=+attn-bwd 0=full
 _BWD_PRUNE = set()  # diagnostic: {'wt','wgrads','kvt','dktdvt','weights'}
 # "split" = two forward-shaped bwd kernels fed by a saved h_hat (default);
-# "mono" = the single 163-memref kernel, kept for A/B timing
-_BWD_IMPL = "split"
+# "merged" = the two bodies in ONE kernel, still fed by saved h_hat (saves
+# the inter-kernel streams IF the larger call pipelines as well — A/B);
+# "mono" = the original 163-memref kernel, kept for A/B timing.
+# EGT_FUSED_BWD overrides for tuning sweeps (tools/layerbench.py).
+_BWD_IMPL = __import__("os").environ.get("EGT_FUSED_BWD", "split")
 
 
 def pick_pack(ew: int, l: int, h: int) -> int:
